@@ -1,0 +1,125 @@
+"""Cubic extension Fq3 = Fq[Y]/(Y^3 - W), W = 2^40 (the NTT slot field).
+
+Matches arkworks ``Fp3<Goldilocks3Config>`` with NONRESIDUE = 1099511627776
+(reference: latticeum/crates/stark-rings/crates/ring/src/cyclotomic_ring/
+models/goldilocks/mod.rs:29-54).
+
+An Fq3 element is a tuple of three Goldilocks limb pairs (c0, c1, c2), each a
+(lo, hi) uint32 array pair; all ops vectorize over arbitrary batch shapes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import goldilocks as gl
+
+NONRESIDUE = 1 << 40  # W
+
+
+def from_int(c0, c1, c2):
+    return (gl.from_int(c0), gl.from_int(c1), gl.from_int(c2))
+
+
+def to_int(x):
+    return tuple(gl.to_int(c) for c in x)
+
+
+def zeros(shape):
+    return (gl.zeros(shape), gl.zeros(shape), gl.zeros(shape))
+
+
+def ones(shape):
+    return (gl.ones(shape), gl.zeros(shape), gl.zeros(shape))
+
+
+def from_base(c0):
+    """Embed Fq -> Fq3 (c1 = c2 = 0)."""
+    z = (jnp.zeros_like(c0[0]), jnp.zeros_like(c0[1]))
+    return (c0, z, z)
+
+
+def add(a, b):
+    return tuple(gl.add(x, y) for x, y in zip(a, b))
+
+
+def sub(a, b):
+    return tuple(gl.sub(x, y) for x, y in zip(a, b))
+
+
+def neg(a):
+    return tuple(gl.neg(x) for x in a)
+
+
+def scale(a, s):
+    """Multiply each coefficient by a base-field element s."""
+    return tuple(gl.mul(x, s) for x in a)
+
+
+def mul(a, b):
+    """(a0 + a1 Y + a2 Y^2)(b0 + b1 Y + b2 Y^2) mod (Y^3 - W)."""
+    a0, a1, a2 = a
+    b0, b1, b2 = b
+    m = gl.mul
+    t0 = m(a0, b0)
+    t1 = gl.add(m(a0, b1), m(a1, b0))
+    t2 = gl.add(gl.add(m(a0, b2), m(a1, b1)), m(a2, b0))
+    t3 = gl.add(m(a1, b2), m(a2, b1))  # coeff of Y^3 -> W * t3 into c0
+    t4 = m(a2, b2)  # coeff of Y^4 -> W * t4 into c1
+    w = gl.const(NONRESIDUE)
+    wlo = jnp.broadcast_to(w[0], t3[0].shape)
+    whi = jnp.broadcast_to(w[1], t3[1].shape)
+    c0 = gl.add(t0, m(t3, (wlo, whi)))
+    c1 = gl.add(t1, m(t4, (wlo, whi)))
+    return (c0, c1, t2)
+
+
+def square(a):
+    return mul(a, a)
+
+
+def pow_const(a, e: int):
+    shape = a[0][0].shape
+    result = ones(shape)
+    base = a
+    e = int(e)
+    while e > 0:
+        if e & 1:
+            result = mul(result, base)
+        e >>= 1
+        if e:
+            base = square(base)
+    return result
+
+
+def inv(a):
+    """Inverse via the norm map: a^{-1} = a^{q+q^2} / N(a), N(a) in Fq.
+
+    Simpler: Fermat in the extension, a^(q^3 - 2).  q^3 is huge; instead use
+    the standard formula with the adjugate.  For X^3 - W:
+      N(a) = a0^3 + W a1^3 + W^2 a2^3 - 3 W a0 a1 a2
+      adj0 = a0^2 - W a1 a2
+      adj1 = W a2^2 - a0 a1
+      adj2 = a1^2 - a0 a2
+      a^{-1} = (adj0 + adj1 Y + adj2 Y^2) / N(a)
+    """
+    a0, a1, a2 = a
+    m = gl.mul
+    w = gl.const(NONRESIDUE)
+    wlo = jnp.broadcast_to(w[0], a0[0].shape)
+    whi = jnp.broadcast_to(w[1], a0[1].shape)
+    W = (wlo, whi)
+    a0a1 = m(a0, a1)
+    a1a2 = m(a1, a2)
+    a0a2 = m(a0, a2)
+    adj0 = gl.sub(m(a0, a0), m(W, a1a2))
+    adj1 = gl.sub(m(W, m(a2, a2)), a0a1)
+    adj2 = gl.sub(m(a1, a1), a0a2)
+    # N(a) = a0*adj0 + W*(a2*adj1 + a1*adj2)
+    norm = gl.add(m(a0, adj0), m(W, gl.add(m(a2, adj1), m(a1, adj2))))
+    ninv = gl.inv(norm)
+    return (m(adj0, ninv), m(adj1, ninv), m(adj2, ninv))
+
+
+def eq(a, b):
+    return gl.eq(a[0], b[0]) & gl.eq(a[1], b[1]) & gl.eq(a[2], b[2])

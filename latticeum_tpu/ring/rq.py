@@ -1,0 +1,164 @@
+"""TPU-side ops for R_q = F_q[X]/(X^24 - X^12 + 1) and its NTT (CRT) form.
+
+Layouts (all batched, limbs = (lo, hi) uint32 pairs):
+  * coeff form:  (..., 24) F_q coefficients
+  * NTT form:    (..., 24) F_q, slot s occupies columns [3s, 3s+2] and is an
+    element of Fq3 = F_q[Y]/(Y^3 - 2^40); matches the in-place layout of the
+    reference (goldilocks/ntt.rs:74-87).
+
+The CRT/ICRT butterfly network of the reference (ntt.rs:135-319) is F_q-linear,
+so the TPU path applies it as a dense 24x24 matvec mod p — mathematically
+identical output, and a single fused batched contraction instead of a chain of
+column shuffles.  The matrices are derived at import by running the bit-exact
+host implementation (ref_impl.crt/icrt) on basis vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..field import fq3, goldilocks as gl
+from . import ref_impl
+
+D = ref_impl.D
+N_SLOTS = ref_impl.N
+
+_CRT_M = ref_impl.crt_matrix()
+_ICRT_M = ref_impl.icrt_matrix()
+
+
+def _matrix_limbs(m):
+    return gl.from_int(np.array(m, dtype=object))
+
+
+CRT_MAT = _matrix_limbs(_CRT_M)     # (24, 24) limbs
+ICRT_MAT = _matrix_limbs(_ICRT_M)
+
+
+def matvec24(mat, x):
+    """(24,24) constant matrix @ x[..., 24] mod p."""
+    # (..., 1, 24) * (24, 24) -> sum over last axis -> (..., 24)
+    xl = (x[0][..., None, :], x[1][..., None, :])
+    prod = gl.mul(xl, mat)
+    return gl.sum_axis(prod, axis=-1)
+
+
+def crt(x):
+    """coeff form -> NTT form, batched."""
+    return matvec24(CRT_MAT, x)
+
+
+def icrt(x):
+    """NTT form -> coeff form, batched."""
+    return matvec24(ICRT_MAT, x)
+
+
+def _as_slots(x):
+    """(..., 24) -> Fq3 triple of (..., 8) arrays."""
+    lo = x[0].reshape(x[0].shape[:-1] + (N_SLOTS, 3))
+    hi = x[1].reshape(x[1].shape[:-1] + (N_SLOTS, 3))
+    return tuple((lo[..., i], hi[..., i]) for i in range(3))
+
+
+def _from_slots(c):
+    lo = jnp.stack([ci[0] for ci in c], axis=-1).reshape(
+        c[0][0].shape[:-1] + (D,))
+    hi = jnp.stack([ci[1] for ci in c], axis=-1).reshape(
+        c[0][1].shape[:-1] + (D,))
+    return (lo, hi)
+
+
+def ntt_mul(a, b):
+    """Slot-wise product of NTT-form elements (8 independent Fq3 muls)."""
+    return _from_slots(fq3.mul(_as_slots(a), _as_slots(b)))
+
+
+def ntt_scalar_mul(a, s3):
+    """NTT element * Fq3 scalar (broadcast over slots and batch).
+
+    s3: fq3 element with batch shape broadcastable to a's batch shape.
+    """
+    sa = _as_slots(a)
+    sb = tuple(((c[0][..., None]), (c[1][..., None])) for c in s3)
+    return _from_slots(fq3.mul(sa, sb))
+
+
+def add(a, b):
+    return gl.add(a, b)
+
+
+def sub(a, b):
+    return gl.sub(a, b)
+
+
+def neg(a):
+    return gl.neg(a)
+
+
+def reduce_coeffs(c):
+    """Reduce (..., L>=24) coefficients mod X^24 - X^12 + 1.
+
+    new[i]    = c[i] - c[24+i] - c[36+i]   (i < 12)
+    new[12+i] = c[12+i] + c[24+i]          (i < 12)
+    (goldilocks/mod.rs:75-98)
+    """
+    lo, hi = c
+    L = lo.shape[-1]
+
+    def col(i):
+        if i < L:
+            return (lo[..., i], hi[..., i])
+        z = jnp.zeros_like(lo[..., 0])
+        return (z, z)
+
+    outs = []
+    for i in range(12):
+        outs.append(gl.sub(gl.sub(col(i), col(24 + i)), col(36 + i)))
+    for i in range(12):
+        outs.append(gl.add(col(12 + i), col(24 + i)))
+    return (
+        jnp.stack([o[0] for o in outs], axis=-1),
+        jnp.stack([o[1] for o in outs], axis=-1),
+    )
+
+
+def poly_mul(a, b):
+    """Coefficient-form ring product via CRT -> slotwise mul -> ICRT (exact)."""
+    return icrt(ntt_mul(crt(a), crt(b)))
+
+
+def rot(c):
+    """Multiply by X in coeff form (goldilocks/mod.rs:138-149).
+
+    out[0] = -c[23]; out[i] = c[i-1] (i>=1); out[12] += c[23].
+    """
+    lo, hi = c
+    last = (lo[..., 23], hi[..., 23])
+    nl = gl.neg(last)
+    outs = [nl] + [(lo[..., i], hi[..., i]) for i in range(D - 1)]
+    outs[12] = gl.add(outs[12], last)
+    return (
+        jnp.stack([o[0] for o in outs], axis=-1),
+        jnp.stack([o[1] for o in outs], axis=-1),
+    )
+
+
+def from_int_coeffs(values):
+    """Host list/array (..., 24) of ints -> coeff-form limbs."""
+    return gl.from_int(values)
+
+
+def to_int(x):
+    return gl.to_int(x)
+
+
+def zeros(batch_shape=()):
+    return gl.zeros(tuple(batch_shape) + (D,))
+
+
+def ones(batch_shape=()):
+    """Ring ONE in coeff form."""
+    lo = np.zeros(tuple(batch_shape) + (D,), dtype=np.uint32)
+    lo[..., 0] = 1
+    return (jnp.asarray(lo), jnp.zeros(tuple(batch_shape) + (D,), jnp.uint32))
