@@ -1,0 +1,120 @@
+"""Balanced base-b decomposition (digits in [-b/2, b/2]) for power-of-two b.
+
+Matches the reference algorithm exactly (stark-rings/.../balanced_decomposition/
+mod.rs:62-103 with the signed-representative convention of
+fq_convertible.rs:22-34): the field value is mapped to its signed integer in
+[-(q-1)/2, (q-1)/2], then digits are peeled with
+
+    r = |curr| mod b
+    if r <= b/2: digit = sign*r,        |curr| := |curr| >> log2(b)
+    else:        digit = sign*(r - b),  |curr| := (|curr| >> log2(b)) + 1
+
+Vector form tracks (magnitude u32x2, sign) — fully branch-free for TPU.
+Digits are returned as canonical field elements.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..field import goldilocks as gl
+
+P = gl.P
+_Q_HALF = (P - 1) // 2
+_QH_LO = _Q_HALF & 0xFFFFFFFF
+_QH_HI = _Q_HALF >> 32
+
+
+def _signed_split(x):
+    """Canonical field elems -> (mag_lo, mag_hi, is_neg)."""
+    lo, hi = x
+    is_neg = (hi > jnp.uint32(_QH_HI)) | (
+        (hi == jnp.uint32(_QH_HI)) & (lo > jnp.uint32(_QH_LO))
+    )
+    nlo, nhi = gl.neg(x)
+    return (
+        jnp.where(is_neg, nlo, lo),
+        jnp.where(is_neg, nhi, hi),
+        is_neg,
+    )
+
+
+def _shift_right(lo, hi, k: int):
+    assert 0 < k < 32
+    return (lo >> k) | (hi << (32 - k)), hi >> k
+
+
+def decompose_balanced(x, b: int, num_digits: int):
+    """x: field limbs (...,) -> digits (..., num_digits) field limbs.
+
+    b must be a power of two >= 2 (reference uses B=2^15 and B_SMALL=2).
+    """
+    assert b >= 2 and (b & (b - 1)) == 0, "basis must be a power of two"
+    k = b.bit_length() - 1
+    half = b // 2
+    mlo, mhi, is_neg = _signed_split(x)
+    digs_lo, digs_hi = [], []
+    for _ in range(num_digits):
+        r = mlo & jnp.uint32(b - 1)
+        big = r > jnp.uint32(half)
+        dmag = jnp.where(big, jnp.uint32(b) - r, r)
+        mlo, mhi = _shift_right(mlo, mhi, k)
+        # carry of 1 when digit went negative
+        mlo2, c = mlo + big.astype(jnp.uint32), (mlo + big.astype(jnp.uint32) < mlo)
+        mlo, mhi = mlo2, mhi + c.astype(jnp.uint32)
+        # digit = sign * r when r <= b/2, but sign * (r - b) when r > b/2 —
+        # i.e. the digit's sign flips when the carry fires.
+        dneg_mask = is_neg ^ big
+        dpos = (dmag, jnp.zeros_like(dmag))
+        dneg = gl.neg(dpos)
+        digs_lo.append(jnp.where(dneg_mask, dneg[0], dpos[0]))
+        digs_hi.append(jnp.where(dneg_mask, dneg[1], dpos[1]))
+    return (jnp.stack(digs_lo, axis=-1), jnp.stack(digs_hi, axis=-1))
+
+
+def recompose(digits, b: int, axis: int = -1):
+    """Horner recompose along `axis`: sum digits[j] * b^j (mod p)."""
+    lo, hi = digits
+    axis = axis % lo.ndim
+    n = lo.shape[axis]
+    lo = jnp.moveaxis(lo, axis, 0)
+    hi = jnp.moveaxis(hi, axis, 0)
+    acc = (lo[n - 1], hi[n - 1])
+    bb = gl.const(b)
+    bcast = (jnp.broadcast_to(bb[0], acc[0].shape), jnp.broadcast_to(bb[1], acc[1].shape))
+    for j in range(n - 2, -1, -1):
+        acc = gl.add(gl.mul(acc, bcast), (lo[j], hi[j]))
+    return acc
+
+
+def gadget_decompose(w, b: int, L: int):
+    """Ring-vector gadget decomposition (mod.rs:166-174).
+
+    w: (..., n, 24) coeff-form limbs -> (..., n*L, 24) where rows
+    [i*L, i*L+L) are the L digit-polynomials of w[i].
+    """
+    lo, hi = w
+    dl, dh = decompose_balanced((lo, hi), b, L)  # (..., n, 24, L)
+    dl = jnp.moveaxis(dl, -1, -2)  # (..., n, L, 24)
+    dh = jnp.moveaxis(dh, -1, -2)
+    new_shape = dl.shape[:-3] + (dl.shape[-3] * L, dl.shape[-1])
+    return (dl.reshape(new_shape), dh.reshape(new_shape))
+
+
+def gadget_recompose(f, b: int, L: int):
+    """Inverse of gadget_decompose: (..., n*L, 24) -> (..., n, 24)."""
+    lo, hi = f
+    n = lo.shape[-2] // L
+    lo = lo.reshape(lo.shape[:-2] + (n, L, lo.shape[-1]))
+    hi = hi.reshape(hi.shape[:-2] + (n, L, hi.shape[-1]))
+    return recompose((lo, hi), b, axis=-2)
+
+
+def decompose_vec_into_k_vecs(w, b: int, K: int):
+    """Split a B-norm vector into K small-norm vectors (transpose layout).
+
+    Matches latticefold nifs/decomposition/utils.rs:44-49: output[k][i] is
+    digit k of w[i].  w: (..., n, 24) -> (K, ..., n, 24).
+    """
+    dl, dh = decompose_balanced(w, b, K)  # (..., n, 24, K)
+    return (jnp.moveaxis(dl, -1, 0), jnp.moveaxis(dh, -1, 0))
