@@ -1,0 +1,81 @@
+"""Fiat-Shamir transcript: Poseidon2 (width 16, rate 12) duplex challenger
+over Goldilocks, absorbing RqNTT ring elements.
+
+Bit-exact mirror of the reference's Poseidon2Transcript
+(latticeum/crates/zkvm/src/fiat_shamir.rs:20-114):
+  * absorb: every base-field coefficient of the NTT form, slot-major
+    (8 slots x 3 Fq3 coords);
+  * get_challenge: sample c0, c1, c2 then observe them back -> Fq3;
+  * squeeze_bytes: little-endian canonical u64 bytes of samples;
+  * get_short_challenge: 18 bytes -> 24 coefficients in [-32, 32)
+    (cyclotomic-rings/src/rings/goldilocks.rs:36-69).
+
+Host-side ints; heavy math stays on device, only protocol-level scalars pass
+through here.
+"""
+
+from __future__ import annotations
+
+from ..field import host as H
+from . import poseidon2_ref as p2
+
+P = p2.P
+MAX_COEFF = 32
+SHORT_CHALLENGE_BYTES = 18
+
+
+def decode_short_challenge(bs: bytes):
+    """18 bytes -> 24 balanced coefficients (as canonical field ints)."""
+    assert len(bs) == SHORT_CHALLENGE_BYTES
+    coeffs = []
+    for i in range(6):
+        b0, b1, b2 = bs[3 * i], bs[3 * i + 1], bs[3 * i + 2]
+        x0 = (b0 & 0b0011_1111) - MAX_COEFF
+        x1 = (((b0 & 0b1100_0000) >> 6) | ((b1 & 0b0000_1111) << 2)) - MAX_COEFF
+        x2 = (((b1 & 0b1111_0000) >> 4) | ((b2 & 0b0000_0011) << 4)) - MAX_COEFF
+        x3 = ((b2 & 0b1111_1100) >> 2) - MAX_COEFF
+        coeffs.extend([x0 % P, x1 % P, x2 % P, x3 % P])
+    return coeffs
+
+
+class Transcript:
+    def __init__(self):
+        self.ch = p2.DuplexChallenger()
+        self.absorptions: list[list[list[int]]] = []
+
+    # -- absorb ------------------------------------------------------------
+    def absorb_ring(self, ntt24):
+        """Absorb one RqNTT element (24 ints, slot-major)."""
+        for v in ntt24:
+            self.ch.observe(v % P)
+
+    def absorb_slice(self, rings):
+        self.absorptions.append([list(r) for r in rings])
+        for r in rings:
+            self.absorb_ring(r)
+
+    def absorb_u64(self, c: int):
+        """Absorb R::from(c) — scalar embedded in every slot."""
+        self.absorb_ring(H.ntt_from_u64(c))
+
+    def absorb_fq3(self, x):
+        """Absorb an Fq3 embedded via from_scalar (all slots equal)."""
+        self.absorb_ring(H.ntt_from_fq3(x))
+
+    # -- sample ------------------------------------------------------------
+    def get_challenge(self):
+        """-> Fq3 (c0, c1, c2); samples then re-observes (fiat_shamir.rs:69-86)."""
+        c0 = self.ch.sample()
+        c1 = self.ch.sample()
+        c2 = self.ch.sample()
+        self.ch.observe(c0)
+        self.ch.observe(c1)
+        self.ch.observe(c2)
+        return (c0, c1, c2)
+
+    def squeeze_bytes(self, n: int) -> bytes:
+        return self.ch.squeeze_bytes(n)
+
+    def get_short_challenge(self):
+        """-> 24 coefficient-form ints in balanced range [-32, 32)."""
+        return decode_short_challenge(self.squeeze_bytes(SHORT_CHALLENGE_BYTES))
