@@ -1,0 +1,193 @@
+"""Core LatticeFold data structures: CCS, CCCS, LCCCS, Witness.
+
+TPU-first layout: CCS matrices are COO index arrays + ring-limb values living
+on device; M·z is a gathered slot-wise ring product followed by an
+overflow-safe segment-sum over rows — the whole t-matrix sweep is one batched
+kernel feed, not t sparse walks.  Mirrors the semantics of
+latticefold/src/arith.rs:51-118 (CCS), :180-206 (CCCS/LCCCS), :214-370
+(Witness / f_hat).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import goldilocks as gl, host as H
+from ..ring import decompose as dc, rq
+
+
+def _bit_len(x):
+    return (x - 1).bit_length() if x > 1 else 0
+
+
+@dataclass
+class SparseRingMatrix:
+    """COO sparse matrix over RqNTT: rows/cols int32, vals (nnz, 24) limbs."""
+
+    nrows: int
+    ncols: int
+    rows: jnp.ndarray           # (nnz,) int32
+    cols: jnp.ndarray           # (nnz,) int32
+    vals: tuple                 # (nnz, 24) limb pair
+
+    @staticmethod
+    def from_host(nrows, ncols, entries):
+        """entries: list of (row, col, ring24_int_list)."""
+        if not entries:
+            return SparseRingMatrix(
+                nrows, ncols,
+                jnp.zeros((0,), jnp.int32), jnp.zeros((0,), jnp.int32),
+                gl.zeros((0, 24)))
+        rows = jnp.asarray(np.array([e[0] for e in entries], np.int32))
+        cols = jnp.asarray(np.array([e[1] for e in entries], np.int32))
+        vals = gl.from_int(np.array([e[2] for e in entries], dtype=object))
+        return SparseRingMatrix(nrows, ncols, rows, cols, vals)
+
+    def matvec(self, z, out_rows: int | None = None):
+        """M @ z over the ring. z: (ncols, 24) limbs -> (out_rows, 24)."""
+        out_rows = out_rows or self.nrows
+        if self.rows.shape[0] == 0:
+            return gl.zeros((out_rows, 24))
+        zg = (z[0][self.cols], z[1][self.cols])        # (nnz, 24)
+        prod = rq.ntt_mul(self.vals, zg)               # (nnz, 24)
+        return _segment_sum_mod_p(prod, self.rows, out_rows)
+
+
+def _segment_sum_mod_p(vals, segment_ids, num_segments):
+    """Segment-sum of canonical field limbs, exact mod p.
+
+    Split limbs into 16-bit columns (uint32 accumulators), segment-sum each,
+    recombine via reduce128.  Safe for < 2^16 terms per segment.
+    """
+    lo, hi = vals
+    cols = jnp.stack([lo & gl.MASK16, lo >> 16, hi & gl.MASK16, hi >> 16])
+    summed = jax.ops.segment_sum(
+        jnp.moveaxis(cols, 0, -1), segment_ids, num_segments)  # (seg, 24, 4)
+    c = jnp.moveaxis(summed, -1, 0)  # (4, seg, 24)
+    return gl._combine_cols_small(c)
+
+
+@dataclass
+class CCS:
+    """CCS structure (arith.rs:51-75). Matrices padded to m rows."""
+
+    m: int
+    n: int
+    l: int
+    t: int
+    q: int
+    d: int
+    M: list                      # t SparseRingMatrix (device)
+    S: list                      # q lists of matrix indices
+    c: list                      # q host ring elements (24-int lists)
+
+    @property
+    def s(self):
+        return _bit_len(self.m)
+
+    @property
+    def s_prime(self):
+        return _bit_len(self.n)
+
+    def matvecs(self, z):
+        """All t products M_j z -> (t, m, 24) limbs (the Mz MLEs)."""
+        outs = [Mj.matvec(z, self.m) for Mj in self.M]
+        return (jnp.stack([o[0] for o in outs]), jnp.stack([o[1] for o in outs]))
+
+    def check_relation(self, z) -> bool:
+        """Σ_i c_i ⊙_{j∈S_i} (M_j z) == 0 (arith.rs:78-107)."""
+        res = self.relation_residual(self.matvecs(z))
+        return bool(jnp.all(res[0] == 0) & jnp.all(res[1] == 0))
+
+    def relation_residual(self, mz):
+        total = gl.zeros((self.m, 24))
+        for i in range(self.q):
+            had = None
+            for j in self.S[i]:
+                term = (mz[0][j], mz[1][j])
+                had = term if had is None else rq.ntt_mul(had, term)
+            ci = gl.from_int(np.array(self.c[i], dtype=object))
+            ci = (jnp.broadcast_to(ci[0], had[0].shape),
+                  jnp.broadcast_to(ci[1], had[1].shape))
+            total = gl.add(total, rq.ntt_mul(had, ci))
+        return total
+
+
+@dataclass
+class CCCS:
+    cm: list                     # kappa host ring elements
+    x_ccs: list                  # l host ring elements
+
+    def z_vector(self, w_ccs):
+        """x_ccs || 1 || w (arith.rs:400-408). w_ccs: (nw, 24) device limbs."""
+        head = [list(x) for x in self.x_ccs] + [H.ntt_from_u64(1)]
+        head_dev = gl.from_int(np.array(head, dtype=object))
+        return (jnp.concatenate([head_dev[0], w_ccs[0]]),
+                jnp.concatenate([head_dev[1], w_ccs[1]]))
+
+
+@dataclass
+class LCCCS:
+    r: list                      # s host ring elements (embedded Fq3)
+    v: list                      # tau host ring elements
+    cm: list                     # kappa host ring elements
+    u: list                      # t host ring elements
+    x_w: list                    # l host ring elements
+    h: list                      # host ring element
+
+    def z_vector(self, w_ccs):
+        head = [list(x) for x in self.x_w] + [list(self.h)]
+        head_dev = gl.from_int(np.array(head, dtype=object))
+        return (jnp.concatenate([head_dev[0], w_ccs[0]]),
+                jnp.concatenate([head_dev[1], w_ccs[1]]))
+
+
+TAU = 3  # 24 / 8
+
+
+@dataclass
+class Witness:
+    """CCS witness with B-decomposition and f_hat (arith.rs:214-320)."""
+
+    w_ccs: tuple                 # (nw, 24) NTT limbs
+    f_coeff: tuple               # (nw*L, 24) coeff-form limbs
+    f: tuple                     # (nw*L, 24) NTT limbs
+    f_hat: tuple                 # (TAU, 2^nv, 24) NTT limbs (padded MLEs)
+
+    @staticmethod
+    def from_w_ccs(w_ccs, B: int, L: int):
+        w_coeff = rq.icrt(w_ccs)
+        f_coeff = dc.gadget_decompose(w_coeff, B, L)
+        f = rq.crt(f_coeff)
+        return Witness(w_ccs, f_coeff, f, Witness.build_fhat(f_coeff))
+
+    @staticmethod
+    def from_f_coeff(f_coeff, B: int, L: int):
+        f = rq.crt(f_coeff)
+        w_ccs = dc.gadget_recompose(f, B, L)
+        return Witness(w_ccs, f_coeff, f, Witness.build_fhat(f_coeff))
+
+    @staticmethod
+    def build_fhat(f_coeff):
+        """(nf, 24) coeff limbs -> (TAU, 2^nv, 24) padded NTT-slot packing.
+
+        fhat[j][i] has slot s = (f_coeff[i][8j+s], 0, 0) (arith.rs:273-297).
+        """
+        lo, hi = f_coeff
+        nf = lo.shape[-2]
+        nv = (nf - 1).bit_length() if nf > 1 else 0
+        npad = 1 << nv
+        chunks_lo = lo.reshape(nf, TAU, 8)
+        chunks_hi = hi.reshape(nf, TAU, 8)
+        out_lo = jnp.zeros((TAU, npad, 8, 3), jnp.uint32)
+        out_hi = jnp.zeros((TAU, npad, 8, 3), jnp.uint32)
+        out_lo = out_lo.at[:, :nf, :, 0].set(jnp.moveaxis(chunks_lo, 0, 1))
+        out_hi = out_hi.at[:, :nf, :, 0].set(jnp.moveaxis(chunks_hi, 0, 1))
+        return (out_lo.reshape(TAU, npad, 24), out_hi.reshape(TAU, npad, 24))
+
+    def commit(self, scheme):
+        return scheme.commit(self.f)
