@@ -15,7 +15,7 @@ reference's row structure, and support loading a captured matrix for parity.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+from .. import backend as B
 import numpy as np
 
 from ..crypto import poseidon2_ref as p2
@@ -50,8 +50,8 @@ class AjtaiScheme:
         arr = np.array(rows, dtype=object)  # (kappa, 24)
         limbs = gl.from_int(arr)
         if row_constant:
-            mat = (jnp.broadcast_to(limbs[0][:, None, :], (kappa, n, 24)),
-                   jnp.broadcast_to(limbs[1][:, None, :], (kappa, n, 24)))
+            mat = (B.xp.broadcast_to(limbs[0][:, None, :], (kappa, n, 24)),
+                   B.xp.broadcast_to(limbs[1][:, None, :], (kappa, n, 24)))
             return AjtaiScheme(mat, kappa, n)
         # full random matrix: sample kappa*n elements
         full = []

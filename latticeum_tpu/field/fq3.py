@@ -10,7 +10,9 @@ An Fq3 element is a tuple of three Goldilocks limb pairs (c0, c1, c2), each a
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+import numpy as np
+
+from .. import backend as B
 
 from . import goldilocks as gl
 
@@ -35,7 +37,7 @@ def ones(shape):
 
 def from_base(c0):
     """Embed Fq -> Fq3 (c1 = c2 = 0)."""
-    z = (jnp.zeros_like(c0[0]), jnp.zeros_like(c0[1]))
+    z = (B.xp.zeros_like(c0[0]), B.xp.zeros_like(c0[1]))
     return (c0, z, z)
 
 
@@ -67,8 +69,8 @@ def mul(a, b):
     t3 = gl.add(m(a1, b2), m(a2, b1))  # coeff of Y^3 -> W * t3 into c0
     t4 = m(a2, b2)  # coeff of Y^4 -> W * t4 into c1
     w = gl.const(NONRESIDUE)
-    wlo = jnp.broadcast_to(w[0], t3[0].shape)
-    whi = jnp.broadcast_to(w[1], t3[1].shape)
+    wlo = B.xp.broadcast_to(w[0], t3[0].shape)
+    whi = B.xp.broadcast_to(w[1], t3[1].shape)
     c0 = gl.add(t0, m(t3, (wlo, whi)))
     c1 = gl.add(t1, m(t4, (wlo, whi)))
     return (c0, c1, t2)
@@ -106,8 +108,8 @@ def inv(a):
     a0, a1, a2 = a
     m = gl.mul
     w = gl.const(NONRESIDUE)
-    wlo = jnp.broadcast_to(w[0], a0[0].shape)
-    whi = jnp.broadcast_to(w[1], a0[1].shape)
+    wlo = B.xp.broadcast_to(w[0], a0[0].shape)
+    whi = B.xp.broadcast_to(w[1], a0[1].shape)
     W = (wlo, whi)
     a0a1 = m(a0, a1)
     a1a2 = m(a1, a2)

@@ -21,7 +21,7 @@ Montgomery) representation; results are bit-identical field values.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+from .. import backend as B
 import numpy as np
 
 P = 18446744069414584321  # 2^64 - 2^32 + 1
@@ -30,18 +30,18 @@ P_HI = np.uint32(0xFFFFFFFF)
 EPSILON = np.uint32(0xFFFFFFFF)  # 2^32 - 1 == 2^64 mod p
 MASK16 = np.uint32(0xFFFF)
 
-U32 = jnp.uint32
+U32 = np.uint32
 
 
 def _u32(x):
-    return jnp.asarray(x, dtype=U32)
+    return B.xp.asarray(x, dtype=U32)
 
 
 # ---------------------------------------------------------------------------
 # conversion helpers (host side)
 # ---------------------------------------------------------------------------
 
-def from_int(values) -> tuple[jnp.ndarray, jnp.ndarray]:
+def from_int(values) -> tuple[B.xp.ndarray, B.xp.ndarray]:
     """Python ints / numpy array of objects -> (lo, hi) uint32 arrays."""
     arr = np.asarray(values, dtype=object)
     flat = arr.reshape(-1)
@@ -51,7 +51,7 @@ def from_int(values) -> tuple[jnp.ndarray, jnp.ndarray]:
         v = int(v) % P
         lo[i] = v & 0xFFFFFFFF
         hi[i] = v >> 32
-    return (jnp.asarray(lo.reshape(arr.shape)), jnp.asarray(hi.reshape(arr.shape)))
+    return (B.xp.asarray(lo.reshape(arr.shape)), B.xp.asarray(hi.reshape(arr.shape)))
 
 
 def to_int(g) -> np.ndarray:
@@ -68,18 +68,18 @@ def to_int(g) -> np.ndarray:
 
 
 def zeros(shape):
-    return (jnp.zeros(shape, dtype=U32), jnp.zeros(shape, dtype=U32))
+    return (B.xp.zeros(shape, dtype=U32), B.xp.zeros(shape, dtype=U32))
 
 
 def ones(shape):
-    return (jnp.ones(shape, dtype=U32), jnp.zeros(shape, dtype=U32))
+    return (B.xp.ones(shape, dtype=U32), B.xp.zeros(shape, dtype=U32))
 
 
 def full(shape, value: int):
     value = int(value) % P
     return (
-        jnp.full(shape, value & 0xFFFFFFFF, dtype=U32),
-        jnp.full(shape, value >> 32, dtype=U32),
+        B.xp.full(shape, value & 0xFFFFFFFF, dtype=U32),
+        B.xp.full(shape, value >> 32, dtype=U32),
     )
 
 
@@ -145,7 +145,7 @@ def _geq_p(lo, hi):
 def _cond_sub_p(lo, hi):
     """Subtract p where value >= p (value < 2^64). One pass suffices."""
     m = _geq_p(lo, hi)
-    return jnp.where(m, lo - P_LO, lo), jnp.where(m, hi - P_HI, hi)
+    return B.xp.where(m, lo - P_LO, lo), B.xp.where(m, hi - P_HI, hi)
 
 
 # ---------------------------------------------------------------------------
@@ -159,8 +159,8 @@ def add(a, b):
     # total = a+b < 2p < 2^65. If ov: total - p = wrapped + (2^64 - p) = wrapped + EPSILON.
     lo2, c = _addc(lo, EPSILON)
     hi2 = hi + c
-    lo = jnp.where(ov > 0, lo2, lo)
-    hi = jnp.where(ov > 0, hi2, hi)
+    lo = B.xp.where(ov > 0, lo2, lo)
+    hi = B.xp.where(ov > 0, hi2, hi)
     # Now value < 2^64; canonicalize.
     return _cond_sub_p(lo, hi)
 
@@ -172,8 +172,8 @@ def sub(a, b):
     # If borrow: wrapped = a - b + 2^64; true value a - b + p = wrapped - EPSILON.
     lo2, bb = _subb(lo, EPSILON)
     hi2 = hi - bb
-    lo = jnp.where(bw > 0, lo2, lo)
-    hi = jnp.where(bw > 0, hi2, hi)
+    lo = B.xp.where(bw > 0, lo2, lo)
+    hi = B.xp.where(bw > 0, hi2, hi)
     return lo, hi
 
 
@@ -181,7 +181,7 @@ def neg(a):
     lo, hi = a
     nz = ((lo | hi) != 0)
     rlo, rhi, _ = _sub64(P_LO, P_HI, lo, hi)
-    return jnp.where(nz, rlo, lo * 0), jnp.where(nz, rhi, hi * 0)
+    return B.xp.where(nz, rlo, lo * 0), B.xp.where(nz, rhi, hi * 0)
 
 
 def _mul64_full(alo, ahi, blo, bhi):
@@ -212,16 +212,16 @@ def reduce128(r0, r1, r2, r3):
     tlo, thi, bw = _sub64(r0, r1, r3, _u32(0))
     tlo2, bb = _subb(tlo, EPSILON)
     thi2 = thi - bb
-    tlo = jnp.where(bw > 0, tlo2, tlo)
-    thi = jnp.where(bw > 0, thi2, thi)
+    tlo = B.xp.where(bw > 0, tlo2, tlo)
+    thi = B.xp.where(bw > 0, thi2, thi)
     # t += EPSILON * r2;  EPSILON*r2 = (r2 << 32) - r2.
     elo, ehi, ebw = _sub64(_u32(0), r2, r2, _u32(0))
     del ebw  # r2<<32 >= r2 always, never borrows (r2==0 case: 0-0)
     lo, hi, ov = _add64(tlo, thi, elo, ehi)
     lo2, c = _addc(lo, EPSILON)
     hi2 = hi + c
-    lo = jnp.where(ov > 0, lo2, lo)
-    hi = jnp.where(ov > 0, hi2, hi)
+    lo = B.xp.where(ov > 0, lo2, lo)
+    hi = B.xp.where(ov > 0, hi2, hi)
     return _cond_sub_p(lo, hi)
 
 
@@ -235,7 +235,7 @@ def mul_const(a, c: int):
     """Multiply by a host-known constant (still a full mul; kept for clarity)."""
     lo, hi = a
     cc = int(c) % P
-    return mul(a, (jnp.full_like(lo, cc & 0xFFFFFFFF), jnp.full_like(hi, cc >> 32)))
+    return mul(a, (B.xp.full_like(lo, cc & 0xFFFFFFFF), B.xp.full_like(hi, cc >> 32)))
 
 
 def square(a):
@@ -245,7 +245,7 @@ def square(a):
 def pow_const(a, e: int):
     """a ** e for host-known integer e (square-and-multiply, unrolled)."""
     lo, hi = a
-    result = (jnp.ones_like(lo), jnp.zeros_like(hi))
+    result = (B.xp.ones_like(lo), B.xp.zeros_like(hi))
     base = a
     e = int(e)
     while e > 0:
@@ -264,7 +264,7 @@ def inv(a):
 
 def select(mask, a, b):
     """Elementwise select: mask ? a : b (mask is bool array)."""
-    return (jnp.where(mask, a[0], b[0]), jnp.where(mask, a[1], b[1]))
+    return (B.xp.where(mask, a[0], b[0]), B.xp.where(mask, a[1], b[1]))
 
 
 def eq(a, b):
@@ -290,23 +290,23 @@ def sum_axis(a, axis: int = -1):
     axis = axis % lo.ndim
     n = lo.shape[axis]
     # move target axis to front for chunking
-    lo = jnp.moveaxis(lo, axis, 0)
-    hi = jnp.moveaxis(hi, axis, 0)
+    lo = B.xp.moveaxis(lo, axis, 0)
+    hi = B.xp.moveaxis(hi, axis, 0)
 
-    cols = jnp.stack(
+    cols = B.xp.stack(
         [lo & MASK16, lo >> 16, hi & MASK16, hi >> 16], axis=0
     )  # (4, n, ...)
 
     CH = 1 << 16
     if n <= CH:
-        csum = jnp.sum(cols, axis=1, dtype=U32)  # (4, ...)
+        csum = B.xp.sum(cols, axis=1, dtype=U32)  # (4, ...)
         return _combine_cols_small(csum)
     # chunked: pad n up to multiple of CH
     pad = (-n) % CH
     if pad:
-        cols = jnp.pad(cols, [(0, 0), (0, pad)] + [(0, 0)] * (cols.ndim - 2))
+        cols = B.xp.pad(cols, [(0, 0), (0, pad)] + [(0, 0)] * (cols.ndim - 2))
     cols = cols.reshape((4, -1, CH) + cols.shape[2:])
-    csum = jnp.sum(cols, axis=2, dtype=U32)  # (4, nchunk, ...) each < 2^32
+    csum = B.xp.sum(cols, axis=2, dtype=U32)  # (4, nchunk, ...) each < 2^32
     # reduce each chunk to a canonical field element, then tree-add them
     elems = _combine_cols_small(csum)  # pair of (nchunk, ...)
     return _tree_reduce_add(elems)
@@ -321,7 +321,7 @@ def _combine_cols_small(csum):
     r1, cb = _addc(r1a, c2)
     r1, cc = _addc(r1, (c3 & MASK16) << 16)
     r2 = (c3 >> 16) + cb + cc
-    return reduce128(r0, r1, r2, jnp.zeros_like(r0))
+    return reduce128(r0, r1, r2, B.xp.zeros_like(r0))
 
 
 def _tree_reduce_add(a):
@@ -329,8 +329,8 @@ def _tree_reduce_add(a):
     while lo.shape[0] > 1:
         m = lo.shape[0]
         if m % 2:
-            lo = jnp.concatenate([lo, jnp.zeros_like(lo[:1])], axis=0)
-            hi = jnp.concatenate([hi, jnp.zeros_like(hi[:1])], axis=0)
+            lo = B.xp.concatenate([lo, B.xp.zeros_like(lo[:1])], axis=0)
+            hi = B.xp.concatenate([hi, B.xp.zeros_like(hi[:1])], axis=0)
             m += 1
         h = m // 2
         lo2, hi2 = add((lo[:h], hi[:h]), (lo[h:], hi[h:]))

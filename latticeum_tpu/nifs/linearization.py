@@ -7,7 +7,7 @@ Verifier: checks the sum-check (claim 0) and e·Σ c_i Π u_j == s.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+from .. import backend as B
 import numpy as np
 
 from ..field import goldilocks as gl, host as H
@@ -20,7 +20,7 @@ BETA_DS = int.from_bytes(b"beta_s", "big")
 
 def _ring_const_dev(c_host, shape):
     c = gl.from_int(np.array(c_host, dtype=object))
-    return (jnp.broadcast_to(c[0], shape), jnp.broadcast_to(c[1], shape))
+    return (B.xp.broadcast_to(c[0], shape), B.xp.broadcast_to(c[1], shape))
 
 
 def make_comb_fn(ccs):
@@ -61,8 +61,8 @@ def prove(cm_i: CCCS, wit, transcript, ccs):
     z = cm_i.z_vector(wit.w_ccs)
     mz = ccs.matvecs(z)                       # (t, m, 24)
     eq_tab = mle_mod.build_eq_table(beta_s)   # (m, 24)
-    g_lo = jnp.concatenate([mz[0], eq_tab[0][None]])
-    g_hi = jnp.concatenate([mz[1], eq_tab[1][None]])
+    g_lo = B.xp.concatenate([mz[0], eq_tab[0][None]])
+    g_hi = B.xp.concatenate([mz[1], eq_tab[1][None]])
     comb = make_comb_fn(ccs)
     proof_sc, chals, _ = sc.prove(transcript, (g_lo, g_hi), ccs.s,
                                   ccs.d + 1, comb)

@@ -12,9 +12,9 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-import jax
-import jax.numpy as jnp
 import numpy as np
+
+from .. import backend as B
 
 from ..field import goldilocks as gl, host as H
 from ..ring import decompose as dc, rq
@@ -30,8 +30,8 @@ class SparseRingMatrix:
 
     nrows: int
     ncols: int
-    rows: jnp.ndarray           # (nnz,) int32
-    cols: jnp.ndarray           # (nnz,) int32
+    rows: B.xp.ndarray           # (nnz,) int32
+    cols: B.xp.ndarray           # (nnz,) int32
     vals: tuple                 # (nnz, 24) limb pair
 
     @staticmethod
@@ -40,10 +40,10 @@ class SparseRingMatrix:
         if not entries:
             return SparseRingMatrix(
                 nrows, ncols,
-                jnp.zeros((0,), jnp.int32), jnp.zeros((0,), jnp.int32),
+                B.xp.zeros((0,), np.int32), B.xp.zeros((0,), np.int32),
                 gl.zeros((0, 24)))
-        rows = jnp.asarray(np.array([e[0] for e in entries], np.int32))
-        cols = jnp.asarray(np.array([e[1] for e in entries], np.int32))
+        rows = B.xp.asarray(np.array([e[0] for e in entries], np.int32))
+        cols = B.xp.asarray(np.array([e[1] for e in entries], np.int32))
         vals = gl.from_int(np.array([e[2] for e in entries], dtype=object))
         return SparseRingMatrix(nrows, ncols, rows, cols, vals)
 
@@ -64,10 +64,10 @@ def _segment_sum_mod_p(vals, segment_ids, num_segments):
     recombine via reduce128.  Safe for < 2^16 terms per segment.
     """
     lo, hi = vals
-    cols = jnp.stack([lo & gl.MASK16, lo >> 16, hi & gl.MASK16, hi >> 16])
-    summed = jax.ops.segment_sum(
-        jnp.moveaxis(cols, 0, -1), segment_ids, num_segments)  # (seg, 24, 4)
-    c = jnp.moveaxis(summed, -1, 0)  # (4, seg, 24)
+    cols = B.xp.stack([lo & gl.MASK16, lo >> 16, hi & gl.MASK16, hi >> 16])
+    summed = B.segment_sum(
+        B.xp.moveaxis(cols, 0, -1), segment_ids, num_segments)  # (seg, 24, 4)
+    c = B.xp.moveaxis(summed, -1, 0)  # (4, seg, 24)
     return gl._combine_cols_small(c)
 
 
@@ -96,12 +96,12 @@ class CCS:
     def matvecs(self, z):
         """All t products M_j z -> (t, m, 24) limbs (the Mz MLEs)."""
         outs = [Mj.matvec(z, self.m) for Mj in self.M]
-        return (jnp.stack([o[0] for o in outs]), jnp.stack([o[1] for o in outs]))
+        return (B.xp.stack([o[0] for o in outs]), B.xp.stack([o[1] for o in outs]))
 
     def check_relation(self, z) -> bool:
         """Σ_i c_i ⊙_{j∈S_i} (M_j z) == 0 (arith.rs:78-107)."""
         res = self.relation_residual(self.matvecs(z))
-        return bool(jnp.all(res[0] == 0) & jnp.all(res[1] == 0))
+        return bool(B.xp.all(res[0] == 0) & B.xp.all(res[1] == 0))
 
     def relation_residual(self, mz):
         total = gl.zeros((self.m, 24))
@@ -111,8 +111,8 @@ class CCS:
                 term = (mz[0][j], mz[1][j])
                 had = term if had is None else rq.ntt_mul(had, term)
             ci = gl.from_int(np.array(self.c[i], dtype=object))
-            ci = (jnp.broadcast_to(ci[0], had[0].shape),
-                  jnp.broadcast_to(ci[1], had[1].shape))
+            ci = (B.xp.broadcast_to(ci[0], had[0].shape),
+                  B.xp.broadcast_to(ci[1], had[1].shape))
             total = gl.add(total, rq.ntt_mul(had, ci))
         return total
 
@@ -126,8 +126,8 @@ class CCCS:
         """x_ccs || 1 || w (arith.rs:400-408). w_ccs: (nw, 24) device limbs."""
         head = [list(x) for x in self.x_ccs] + [H.ntt_from_u64(1)]
         head_dev = gl.from_int(np.array(head, dtype=object))
-        return (jnp.concatenate([head_dev[0], w_ccs[0]]),
-                jnp.concatenate([head_dev[1], w_ccs[1]]))
+        return (B.xp.concatenate([head_dev[0], w_ccs[0]]),
+                B.xp.concatenate([head_dev[1], w_ccs[1]]))
 
 
 @dataclass
@@ -142,8 +142,8 @@ class LCCCS:
     def z_vector(self, w_ccs):
         head = [list(x) for x in self.x_w] + [list(self.h)]
         head_dev = gl.from_int(np.array(head, dtype=object))
-        return (jnp.concatenate([head_dev[0], w_ccs[0]]),
-                jnp.concatenate([head_dev[1], w_ccs[1]]))
+        return (B.xp.concatenate([head_dev[0], w_ccs[0]]),
+                B.xp.concatenate([head_dev[1], w_ccs[1]]))
 
 
 TAU = 3  # 24 / 8
@@ -183,10 +183,10 @@ class Witness:
         npad = 1 << nv
         chunks_lo = lo.reshape(nf, TAU, 8)
         chunks_hi = hi.reshape(nf, TAU, 8)
-        out_lo = jnp.zeros((TAU, npad, 8, 3), jnp.uint32)
-        out_hi = jnp.zeros((TAU, npad, 8, 3), jnp.uint32)
-        out_lo = out_lo.at[:, :nf, :, 0].set(jnp.moveaxis(chunks_lo, 0, 1))
-        out_hi = out_hi.at[:, :nf, :, 0].set(jnp.moveaxis(chunks_hi, 0, 1))
+        out_lo = B.xp.zeros((TAU, npad, 8, 3), np.uint32)
+        out_hi = B.xp.zeros((TAU, npad, 8, 3), np.uint32)
+        out_lo = B.at_set(out_lo, (slice(None), slice(0, nf), slice(None), 0), B.xp.moveaxis(chunks_lo, 0, 1))
+        out_hi = B.at_set(out_hi, (slice(None), slice(0, nf), slice(None), 0), B.xp.moveaxis(chunks_hi, 0, 1))
         return (out_lo.reshape(TAU, npad, 24), out_hi.reshape(TAU, npad, 24))
 
     def commit(self, scheme):

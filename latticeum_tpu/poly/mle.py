@@ -13,7 +13,7 @@ zeros so results are identical.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+from .. import backend as B
 
 from ..field import goldilocks as gl
 from ..ring import rq

@@ -15,7 +15,9 @@ Digits are returned as canonical field elements.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+import numpy as np
+
+from .. import backend as B
 
 from ..field import goldilocks as gl
 
@@ -28,13 +30,13 @@ _QH_HI = _Q_HALF >> 32
 def _signed_split(x):
     """Canonical field elems -> (mag_lo, mag_hi, is_neg)."""
     lo, hi = x
-    is_neg = (hi > jnp.uint32(_QH_HI)) | (
-        (hi == jnp.uint32(_QH_HI)) & (lo > jnp.uint32(_QH_LO))
+    is_neg = (hi > np.uint32(_QH_HI)) | (
+        (hi == np.uint32(_QH_HI)) & (lo > np.uint32(_QH_LO))
     )
     nlo, nhi = gl.neg(x)
     return (
-        jnp.where(is_neg, nlo, lo),
-        jnp.where(is_neg, nhi, hi),
+        B.xp.where(is_neg, nlo, lo),
+        B.xp.where(is_neg, nhi, hi),
         is_neg,
     )
 
@@ -55,21 +57,21 @@ def decompose_balanced(x, b: int, num_digits: int):
     mlo, mhi, is_neg = _signed_split(x)
     digs_lo, digs_hi = [], []
     for _ in range(num_digits):
-        r = mlo & jnp.uint32(b - 1)
-        big = r > jnp.uint32(half)
-        dmag = jnp.where(big, jnp.uint32(b) - r, r)
+        r = mlo & np.uint32(b - 1)
+        big = r > np.uint32(half)
+        dmag = B.xp.where(big, np.uint32(b) - r, r)
         mlo, mhi = _shift_right(mlo, mhi, k)
         # carry of 1 when digit went negative
-        mlo2, c = mlo + big.astype(jnp.uint32), (mlo + big.astype(jnp.uint32) < mlo)
-        mlo, mhi = mlo2, mhi + c.astype(jnp.uint32)
+        mlo2, c = mlo + big.astype(np.uint32), (mlo + big.astype(np.uint32) < mlo)
+        mlo, mhi = mlo2, mhi + c.astype(np.uint32)
         # digit = sign * r when r <= b/2, but sign * (r - b) when r > b/2 —
         # i.e. the digit's sign flips when the carry fires.
         dneg_mask = is_neg ^ big
-        dpos = (dmag, jnp.zeros_like(dmag))
+        dpos = (dmag, B.xp.zeros_like(dmag))
         dneg = gl.neg(dpos)
-        digs_lo.append(jnp.where(dneg_mask, dneg[0], dpos[0]))
-        digs_hi.append(jnp.where(dneg_mask, dneg[1], dpos[1]))
-    return (jnp.stack(digs_lo, axis=-1), jnp.stack(digs_hi, axis=-1))
+        digs_lo.append(B.xp.where(dneg_mask, dneg[0], dpos[0]))
+        digs_hi.append(B.xp.where(dneg_mask, dneg[1], dpos[1]))
+    return (B.xp.stack(digs_lo, axis=-1), B.xp.stack(digs_hi, axis=-1))
 
 
 def recompose(digits, b: int, axis: int = -1):
@@ -77,11 +79,11 @@ def recompose(digits, b: int, axis: int = -1):
     lo, hi = digits
     axis = axis % lo.ndim
     n = lo.shape[axis]
-    lo = jnp.moveaxis(lo, axis, 0)
-    hi = jnp.moveaxis(hi, axis, 0)
+    lo = B.xp.moveaxis(lo, axis, 0)
+    hi = B.xp.moveaxis(hi, axis, 0)
     acc = (lo[n - 1], hi[n - 1])
     bb = gl.const(b)
-    bcast = (jnp.broadcast_to(bb[0], acc[0].shape), jnp.broadcast_to(bb[1], acc[1].shape))
+    bcast = (B.xp.broadcast_to(bb[0], acc[0].shape), B.xp.broadcast_to(bb[1], acc[1].shape))
     for j in range(n - 2, -1, -1):
         acc = gl.add(gl.mul(acc, bcast), (lo[j], hi[j]))
     return acc
@@ -95,8 +97,8 @@ def gadget_decompose(w, b: int, L: int):
     """
     lo, hi = w
     dl, dh = decompose_balanced((lo, hi), b, L)  # (..., n, 24, L)
-    dl = jnp.moveaxis(dl, -1, -2)  # (..., n, L, 24)
-    dh = jnp.moveaxis(dh, -1, -2)
+    dl = B.xp.moveaxis(dl, -1, -2)  # (..., n, L, 24)
+    dh = B.xp.moveaxis(dh, -1, -2)
     new_shape = dl.shape[:-3] + (dl.shape[-3] * L, dl.shape[-1])
     return (dl.reshape(new_shape), dh.reshape(new_shape))
 
@@ -117,4 +119,4 @@ def decompose_vec_into_k_vecs(w, b: int, K: int):
     digit k of w[i].  w: (..., n, 24) -> (K, ..., n, 24).
     """
     dl, dh = decompose_balanced(w, b, K)  # (..., n, 24, K)
-    return (jnp.moveaxis(dl, -1, 0), jnp.moveaxis(dh, -1, 0))
+    return (B.xp.moveaxis(dl, -1, 0), B.xp.moveaxis(dh, -1, 0))

@@ -16,7 +16,7 @@ host implementation (ref_impl.crt/icrt) on basis vectors.
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
+from .. import backend as B
 
 from ..field import fq3, goldilocks as gl
 from . import ref_impl
@@ -62,9 +62,9 @@ def _as_slots(x):
 
 
 def _from_slots(c):
-    lo = jnp.stack([ci[0] for ci in c], axis=-1).reshape(
+    lo = B.xp.stack([ci[0] for ci in c], axis=-1).reshape(
         c[0][0].shape[:-1] + (D,))
-    hi = jnp.stack([ci[1] for ci in c], axis=-1).reshape(
+    hi = B.xp.stack([ci[1] for ci in c], axis=-1).reshape(
         c[0][1].shape[:-1] + (D,))
     return (lo, hi)
 
@@ -109,7 +109,7 @@ def reduce_coeffs(c):
     def col(i):
         if i < L:
             return (lo[..., i], hi[..., i])
-        z = jnp.zeros_like(lo[..., 0])
+        z = B.xp.zeros_like(lo[..., 0])
         return (z, z)
 
     outs = []
@@ -118,8 +118,8 @@ def reduce_coeffs(c):
     for i in range(12):
         outs.append(gl.add(col(12 + i), col(24 + i)))
     return (
-        jnp.stack([o[0] for o in outs], axis=-1),
-        jnp.stack([o[1] for o in outs], axis=-1),
+        B.xp.stack([o[0] for o in outs], axis=-1),
+        B.xp.stack([o[1] for o in outs], axis=-1),
     )
 
 
@@ -139,8 +139,8 @@ def rot(c):
     outs = [nl] + [(lo[..., i], hi[..., i]) for i in range(D - 1)]
     outs[12] = gl.add(outs[12], last)
     return (
-        jnp.stack([o[0] for o in outs], axis=-1),
-        jnp.stack([o[1] for o in outs], axis=-1),
+        B.xp.stack([o[0] for o in outs], axis=-1),
+        B.xp.stack([o[1] for o in outs], axis=-1),
     )
 
 
@@ -161,4 +161,4 @@ def ones(batch_shape=()):
     """Ring ONE in coeff form."""
     lo = np.zeros(tuple(batch_shape) + (D,), dtype=np.uint32)
     lo[..., 0] = 1
-    return (jnp.asarray(lo), jnp.zeros(tuple(batch_shape) + (D,), jnp.uint32))
+    return (B.xp.asarray(lo), B.xp.zeros(tuple(batch_shape) + (D,), np.uint32))

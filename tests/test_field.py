@@ -66,9 +66,12 @@ def test_mul():
 
 
 def test_mul_jit():
+    from latticeum_tpu import backend as B
     a, b = rand_elems(N), rand_elems(N)
-    f = jax.jit(gl.mul)
-    check(f(to_pairs(a), to_pairs(b)), [(x * y) % P for x, y in zip(a, b)])
+    with B.jax_mode():
+        f = jax.jit(gl.mul)
+        got = f(to_pairs(a), to_pairs(b))
+    check(got, [(x * y) % P for x, y in zip(a, b)])
 
 
 def test_reduce128_fuzz():

@@ -32,7 +32,9 @@ def test_ccs_relation_satisfied():
 
 def test_ccs_relation_rejects():
     ccs, cm_i, wit, _ = setup_instance()
-    bad = (wit.w_ccs[0].at[0, 0].add(1), wit.w_ccs[1])
+    blo = np.array(wit.w_ccs[0])
+    blo[0, 0] += 1
+    bad = (blo, wit.w_ccs[1])
     z = cm_i.z_vector(bad)
     assert not ccs.check_relation(z)
 
