@@ -65,6 +65,21 @@ def numpy_mode():
         xp, _IS_JAX = old, old_flag
 
 
+def barrier(x):
+    """XLA optimization barrier (identity under numpy).
+
+    XLA's fusion happily *duplicates* cheap elementwise producers into every
+    consumer; with deep uint32 limb-arithmetic chains (ring mul -> ring mul)
+    that duplication compounds exponentially (observed ~30x compile/run
+    growth per chained ring mul on the CPU backend).  A barrier after each
+    ring-level multiply bounds the fused region.
+    """
+    if _IS_JAX:
+        import jax
+        return jax.lax.optimization_barrier(x)
+    return x
+
+
 def at_set(arr, idx, value):
     """arr[idx] = value, functional under jax, in-place copy under numpy."""
     if _IS_JAX:

@@ -41,7 +41,7 @@ def matvec24(mat, x):
     # (..., 1, 24) * (24, 24) -> sum over last axis -> (..., 24)
     xl = (x[0][..., None, :], x[1][..., None, :])
     prod = gl.mul(xl, mat)
-    return gl.sum_axis(prod, axis=-1)
+    return B.barrier(gl.sum_axis(prod, axis=-1))
 
 
 def crt(x):
@@ -71,7 +71,7 @@ def _from_slots(c):
 
 def ntt_mul(a, b):
     """Slot-wise product of NTT-form elements (8 independent Fq3 muls)."""
-    return _from_slots(fq3.mul(_as_slots(a), _as_slots(b)))
+    return B.barrier(_from_slots(fq3.mul(_as_slots(a), _as_slots(b))))
 
 
 def ntt_scalar_mul(a, s3):
@@ -81,7 +81,7 @@ def ntt_scalar_mul(a, s3):
     """
     sa = _as_slots(a)
     sb = tuple(((c[0][..., None]), (c[1][..., None])) for c in s3)
-    return _from_slots(fq3.mul(sa, sb))
+    return B.barrier(_from_slots(fq3.mul(sa, sb)))
 
 
 def add(a, b):
