@@ -64,20 +64,49 @@ def commit_witnesses(wit_s, scheme, cm_i: LCCCS, params):
     return [y0] + ys_tail
 
 
-def prove(cm_i: LCCCS, wit: Witness, transcript, ccs, scheme, params):
-    """Returns (mz_mles list of (t,m,24) dev, lcccs_s, wit_s, proof)."""
+def eq_transposed_rows(ccs, point):
+    """For each matrix j: w_j = M_j^T @ eq(point) as (t, n, 24) limbs.
+
+    Evaluation claims <mle[M_j z], eq(r)> then reduce to w_j · z —
+    the Mz MLEs are never materialized (the reference's dominant memory
+    and flame-graph cost, dp3 evaluation.tex:139-160).
+    """
+    from ..poly import mle as mle_mod
+    eq_tab = mle_mod.build_eq_table(point)  # (m, 24)
+    outs = [Mj.matvec_T(eq_tab, ccs.n) for Mj in ccs.M]
+    return (B.xp.stack([o[0] for o in outs]),
+            B.xp.stack([o[1] for o in outs]))
+
+
+def eval_claims_via_eqT(eqT, z):
+    """u[j] = sum_col eqT[j, col] * z[col] -> t host rings."""
+    prod = rq.ntt_mul(eqT, (z[0][None], z[1][None]))  # (t, n, 24)
+    summed = gl.sum_axis(prod, axis=-2)               # (t, 24)
+    vals = gl.to_int(summed)
+    return [[int(v) for v in row] for row in vals]
+
+
+def z_vector_dev(x_host, w_ccs):
+    head = gl.from_int(np.array([list(v) for v in x_host], dtype=object))
+    return (B.xp.concatenate([head[0], w_ccs[0]]),
+            B.xp.concatenate([head[1], w_ccs[1]]))
+
+
+def prove(cm_i: LCCCS, wit: Witness, transcript, ccs, scheme, params,
+          eqT=None):
+    """Returns (z_s list of (n,24) dev, lcccs_s, wit_s, proof)."""
     point = [H.ntt_slots(r)[0] for r in cm_i.r]  # embedded Fq3 challenges
     wit_s = decompose_witness(wit, params)
     x_s = compute_x_s(cm_i.x_w, cm_i.h, params)
     y_s = commit_witnesses(wit_s, scheme, cm_i, params)
     v_s = [evaluate_mles_host(w.f_hat, point) for w in wit_s]
-    mz_mles = []
+    if eqT is None:
+        eqT = eq_transposed_rows(ccs, point)
+    z_s = []
     for k in range(params.K):
-        head = gl.from_int(np.array(x_s[k], dtype=object))
-        z = (B.xp.concatenate([head[0], wit_s[k].w_ccs[0]]),
-             B.xp.concatenate([head[1], wit_s[k].w_ccs[1]]))
-        mz_mles.append(ccs.matvecs(z))
-    u_s = [evaluate_mles_host(mz, point) for mz in mz_mles]
+        z = z_vector_dev(x_s[k], wit_s[k].w_ccs)
+        z_s.append(z)
+    u_s = [eval_claims_via_eqT(eqT, z) for z in z_s]
 
     lcccs_s = []
     for k in range(params.K):
@@ -89,7 +118,7 @@ def prove(cm_i: LCCCS, wit: Witness, transcript, ccs, scheme, params):
                              cm=y_s[k], u=u_s[k], x_w=x_s[k][:-1],
                              h=x_s[k][-1]))
     proof = {"u_s": u_s, "v_s": v_s, "x_s": x_s, "y_s": y_s}
-    return mz_mles, lcccs_s, wit_s, proof
+    return z_s, lcccs_s, wit_s, proof
 
 
 def _recompose(vecs_s, b_pows):

@@ -60,20 +60,39 @@ def _horner_combine(mles, coeff_fq3):
     return acc
 
 
-def create_sumcheck_mles(log_m, f_hat_mles, alpha_s, zeta_s, mz_mles,
+def challenged_mz_combined(ccs, z_s, zeta_s, lo_idx, hi_idx):
+    """Σ_{i∈half} Σ_j ζ_i^{j+1}·(M_j z_i) computed as Σ_j M_j·(Σ_i ζ_i^{j+1} z_i).
+
+    Algebraic restructure of calculate_challenged_mz_mle
+    (folding.rs:211-232): t matvecs total instead of t·K, and the Mz MLEs
+    are never materialized.  Exact same result.
+    """
+    n = z_s[0][0].shape[0]
+    t = ccs.t
+    acc = gl.zeros((ccs.m, 24))
+    for j in range(t):
+        comb = gl.zeros((n, 24))
+        for i in range(lo_idx, hi_idx):
+            pw = H.fq3_pow(zeta_s[i], j + 1)
+            comb = gl.add(comb, rq.ntt_scalar_mul(z_s[i], mle_mod.fq3_const(pw)))
+        acc = gl.add(acc, ccs.M[j].matvec(comb, ccs.m))
+    return acc
+
+
+def create_sumcheck_mles(log_m, f_hat_mles, alpha_s, zeta_s, z_s, ccs,
                          r_s, beta_s, K):
     """Builds the g MLE list (folding/utils.rs:196-255).
 
     f_hat_mles: list of 2K (TAU, m, 24) device limbs.
-    mz_mles: list of 2K (t, m, 24) device limbs.
+    z_s: list of 2K (n, 24) device limbs (full z vectors).
     Returns (g_lo, g_hi) stacked (5 + 2K*TAU, m, 24).
     """
     def combined_half(lo_idx, hi_idx):
         acc = gl.zeros((1 << log_m, 24))
         for i in range(lo_idx, hi_idx):
             acc = gl.add(acc, _horner_combine(f_hat_mles[i], alpha_s[i]))
-        for i in range(lo_idx, hi_idx):
-            acc = gl.add(acc, _horner_combine(mz_mles[i], zeta_s[i]))
+        acc = gl.add(acc, challenged_mz_combined(ccs, z_s, zeta_s,
+                                                 lo_idx, hi_idx))
         return acc
 
     eq_r1 = mle_mod.build_eq_table([H.ntt_slots(r)[0] for r in r_s[0]])
@@ -232,8 +251,9 @@ def expected_claim_value(alpha_s, mu_s, theta_s, e_ast, e_s, zeta_s, eta_s,
     return total
 
 
-def prove(cm_i_s, wit_s, transcript, ccs, mz_mles, params):
-    """Returns (lcccs, w_0, proof)."""
+def prove(cm_i_s, wit_s, transcript, ccs, z_s, params):
+    """Returns (lcccs, w_0, proof).  z_s: 2K full z vectors (device)."""
+    from . import decomposition as dec
     K, b_small = params.K, params.B_SMALL
     assert len(cm_i_s) == 2 * K
     log_m = ccs.s
@@ -241,13 +261,14 @@ def prove(cm_i_s, wit_s, transcript, ccs, mz_mles, params):
         transcript, log_m, K)
     f_hat_mles = [w.f_hat for w in wit_s]
     r_s = [cm_i.r for cm_i in cm_i_s]
-    g = create_sumcheck_mles(log_m, f_hat_mles, alpha_s, zeta_s, mz_mles,
+    g = create_sumcheck_mles(log_m, f_hat_mles, alpha_s, zeta_s, z_s, ccs,
                              r_s, beta_s, K)
     comb = make_comb_fn(mu_s, b_small, K)
     proof_sc, chals, _ = sc.prove(transcript, g, log_m, 2 * b_small, comb)
     r_0 = chals
     theta_s = [evaluate_mles_host(fh, r_0) for fh in f_hat_mles]
-    eta_s = [evaluate_mles_host(mz, r_0) for mz in mz_mles]
+    eqT_r0 = dec.eq_transposed_rows(ccs, r_0)
+    eta_s = [dec.eval_claims_via_eqT(eqT_r0, z) for z in z_s]
     for th in theta_s:
         transcript.absorb_slice(th)
     for et in eta_s:

@@ -49,15 +49,15 @@ def prove(acc, w_acc, cm_i, w_i, transcript, ccs, scheme, params):
     sanity_check(ccs, params)
     absorb_public_input(acc, cm_i, transcript)
     linearized_cm_i, lin_proof, _ = lin.prove(cm_i, w_i, transcript, ccs)
-    mz_l, lcccs_l, wit_l, dec_proof_l = dec.prove(
+    z_l, lcccs_l, wit_l, dec_proof_l = dec.prove(
         acc, w_acc, transcript, ccs, scheme, params)
-    mz_r, lcccs_r, wit_r, dec_proof_r = dec.prove(
+    z_r, lcccs_r, wit_r, dec_proof_r = dec.prove(
         linearized_cm_i, w_i, transcript, ccs, scheme, params)
     lcccs_s = lcccs_l + lcccs_r
     wit_s = wit_l + wit_r
-    mz_mles = mz_l + mz_r
+    z_s = z_l + z_r
     folded, w0, fold_proof = fold.prove(
-        lcccs_s, wit_s, transcript, ccs, mz_mles, params)
+        lcccs_s, wit_s, transcript, ccs, z_s, params)
     proof = {"linearization": lin_proof, "decomposition_l": dec_proof_l,
              "decomposition_r": dec_proof_r, "folding": fold_proof}
     return folded, w0, proof

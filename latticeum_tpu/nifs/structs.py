@@ -56,6 +56,70 @@ class SparseRingMatrix:
         prod = rq.ntt_mul(self.vals, zg)               # (nnz, 24)
         return _segment_sum_mod_p(prod, self.rows, out_rows)
 
+    def matvec_T(self, y, out_cols: int | None = None):
+        """M^T @ y over the ring: y (nrows, 24) -> (out_cols, 24)."""
+        out_cols = out_cols or self.ncols
+        if self.rows.shape[0] == 0:
+            return gl.zeros((out_cols, 24))
+        yg = (y[0][self.rows], y[1][self.rows])
+        prod = rq.ntt_mul(self.vals, yg)
+        return _segment_sum_mod_p(prod, self.cols, out_cols)
+
+
+@dataclass
+class SparseScalarMatrix:
+    """COO matrix whose values are base-field SCALARS (embedded rings).
+
+    The zkVM gate matrices only ever hold scalar coefficients
+    (constraints.rs uses R::from(u64) / b_s powers), so M·z multiplies each
+    gathered ring row by a scalar — 24x cheaper than a full slot-wise mul.
+    """
+
+    nrows: int
+    ncols: int
+    rows: object            # (nnz,) int32
+    cols: object            # (nnz,) int32
+    vals: tuple             # (nnz,) limb pair (scalars)
+
+    @staticmethod
+    def from_entries(nrows, ncols, entries):
+        """entries: list of (row, col, scalar_int)."""
+        if not entries:
+            return SparseScalarMatrix(
+                nrows, ncols, B.xp.zeros((0,), np.int32),
+                B.xp.zeros((0,), np.int32), gl.zeros((0,)))
+        rows = B.xp.asarray(np.array([e[0] for e in entries], np.int32))
+        cols = B.xp.asarray(np.array([e[1] for e in entries], np.int32))
+        vals = gl.from_int(np.array([e[2] for e in entries], dtype=object))
+        return SparseScalarMatrix(nrows, ncols, rows, cols, vals)
+
+    @property
+    def nnz(self):
+        return int(self.rows.shape[0])
+
+    def matvec(self, z, out_rows: int | None = None):
+        """M @ z: z (ncols, 24) limbs -> (out_rows, 24)."""
+        out_rows = out_rows or self.nrows
+        if self.nnz == 0:
+            return gl.zeros((out_rows, 24))
+        zg = (z[0][self.cols], z[1][self.cols])          # (nnz, 24)
+        sv = (self.vals[0][:, None], self.vals[1][:, None])
+        prod = gl.mul(sv, zg)
+        return _segment_sum_mod_p(prod, self.rows, out_rows)
+
+    def matvec_T(self, y, out_cols: int | None = None):
+        """M^T @ y: y (nrows, 24) limbs -> (out_cols, 24).
+
+        Used for evaluation claims: <MLE[Mz], eq(r)> = (M^T eq) · z.
+        """
+        out_cols = out_cols or self.ncols
+        if self.nnz == 0:
+            return gl.zeros((out_cols, 24))
+        yg = (y[0][self.rows], y[1][self.rows])
+        sv = (self.vals[0][:, None], self.vals[1][:, None])
+        prod = gl.mul(sv, yg)
+        return _segment_sum_mod_p(prod, self.cols, out_cols)
+
 
 def _segment_sum_mod_p(vals, segment_ids, num_segments):
     """Segment-sum of canonical field limbs, exact mod p.
