@@ -72,7 +72,8 @@ def eq_transposed_rows(ccs, point):
     and flame-graph cost, dp3 evaluation.tex:139-160).
     """
     from ..poly import mle as mle_mod
-    eq_tab = mle_mod.build_eq_table(point)  # (m, 24)
+    cap = max(getattr(Mj, "max_row", ccs.m - 1) for Mj in ccs.M) + 1
+    eq_tab = mle_mod.build_eq_table(point, max_rows=cap)
     outs = [Mj.matvec_T(eq_tab, ccs.n) for Mj in ccs.M]
     return (B.xp.stack([o[0] for o in outs]),
             B.xp.stack([o[1] for o in outs]))

@@ -47,28 +47,46 @@ def squeeze_beta(transcript, s):
 
 
 def evaluate_mles_host(mles_dev, point):
-    """(k, n, 24) device MLEs evaluated at host Fq3 point -> host rings."""
-    out = mles_dev
-    for r in point:
-        out = mle_mod.fix_variable(out, mle_mod.fq3_const(r))
-    vals = gl.to_int(out)  # (k, 1, 24)
-    return [[int(x) for x in vals[k][0]] for k in range(vals.shape[0])]
+    """(k, n, 24) device MLEs evaluated at host Fq3 point -> host rings.
+
+    Supports lazily-truncated MLEs (length < 2^len(point))."""
+    out = mle_mod.evaluate(mles_dev, [mle_mod.fq3_const(r) for r in point])
+    vals = gl.to_int(out)  # (k, 24)
+    return [[int(x) for x in vals[k]] for k in range(vals.shape[0])]
 
 
-def prove(cm_i: CCCS, wit, transcript, ccs):
+def prove(cm_i: CCCS, wit, transcript, ccs, log=None):
     """Returns (lcccs, proof, mz_mles_dev)."""
+    import time
+    _t = time.time()
+
+    def _log(msg):
+        if log:
+            log(f"lin.prove {msg} [{time.time()-_t:.1f}s]")
+
     beta_s = squeeze_beta(transcript, ccs.s)
     z = cm_i.z_vector(wit.w_ccs)
-    mz = ccs.matvecs(z)                       # (t, m, 24)
-    eq_tab = mle_mod.build_eq_table(beta_s)   # (m, 24)
+    # lazy truncation: gate rows occupy a prefix; beyond it every Mz MLE is
+    # exactly zero, so the sum-check runs on truncated arrays (the analog of
+    # the reference's truncate_lnze, mle/dense.rs:93)
+    cap = max(getattr(Mj, "max_row", ccs.m - 1) for Mj in ccs.M) + 1
+    cap = 1 << (cap - 1).bit_length()
+    cap = min(cap, ccs.m)
+    mz = ccs.matvecs(z, out_rows=cap)         # (t, cap, 24)
+    _log("matvecs done")
+    eq_tab = mle_mod.build_eq_table(beta_s, max_rows=cap)
+    _log("eq table done")
     g_lo = B.xp.concatenate([mz[0], eq_tab[0][None]])
     g_hi = B.xp.concatenate([mz[1], eq_tab[1][None]])
     comb = make_comb_fn(ccs)
     proof_sc, chals, _ = sc.prove(transcript, (g_lo, g_hi), ccs.s,
-                                  ccs.d + 1, comb)
+                                  ccs.d + 1, comb, log=log)
+    _log("sumcheck done")
     point_r = [H.ntt_from_fq3(r) for r in chals]
     v = evaluate_mles_host(wit.f_hat, chals)
+    _log("v evals done")
     u = evaluate_mles_host(mz, chals)
+    _log("u evals done")
     transcript.absorb_slice(v)
     transcript.absorb_slice(u)
     proof = {"sumcheck": proof_sc, "v": v, "u": u}

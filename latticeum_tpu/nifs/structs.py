@@ -97,15 +97,33 @@ class SparseScalarMatrix:
     def nnz(self):
         return int(self.rows.shape[0])
 
+    @property
+    def max_row(self):
+        if not hasattr(self, "_max_row"):
+            self._max_row = int(self.rows.max()) if self.nnz else 0
+        return self._max_row
+
     def matvec(self, z, out_rows: int | None = None):
-        """M @ z: z (ncols, 24) limbs -> (out_rows, 24)."""
+        """M @ z: z (ncols, 24) limbs -> (out_rows, 24).
+
+        Reduction runs over the compact populated-row prefix only (gate rows
+        occupy a small prefix of the padded 2^s space).
+        """
         out_rows = out_rows or self.nrows
         if self.nnz == 0:
             return gl.zeros((out_rows, 24))
         zg = (z[0][self.cols], z[1][self.cols])          # (nnz, 24)
         sv = (self.vals[0][:, None], self.vals[1][:, None])
         prod = gl.mul(sv, zg)
-        return _segment_sum_mod_p(prod, self.rows, out_rows)
+        cap = self.max_row + 1
+        compact = _segment_sum_mod_p(prod, self.rows, cap)
+        if cap >= out_rows:
+            return compact
+        pad = out_rows - cap
+        return (B.xp.concatenate([compact[0],
+                                  B.xp.zeros((pad, 24), np.uint32)]),
+                B.xp.concatenate([compact[1],
+                                  B.xp.zeros((pad, 24), np.uint32)]))
 
     def matvec_T(self, y, out_cols: int | None = None):
         """M^T @ y: y (nrows, 24) limbs -> (out_cols, 24).
@@ -157,9 +175,9 @@ class CCS:
     def s_prime(self):
         return _bit_len(self.n)
 
-    def matvecs(self, z):
-        """All t products M_j z -> (t, m, 24) limbs (the Mz MLEs)."""
-        outs = [Mj.matvec(z, self.m) for Mj in self.M]
+    def matvecs(self, z, out_rows=None):
+        """All t products M_j z -> (t, out_rows, 24) limbs (the Mz MLEs)."""
+        outs = [Mj.matvec(z, out_rows or self.m) for Mj in self.M]
         return (B.xp.stack([o[0] for o in outs]), B.xp.stack([o[1] for o in outs]))
 
     def check_relation(self, z) -> bool:

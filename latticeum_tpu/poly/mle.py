@@ -46,9 +46,16 @@ def fix_variable(mle, r_fq3):
 
 
 def evaluate(mle, rs_fq3):
-    """Evaluate at a point (list of Fq3 limb triples, variable 0 first)."""
+    """Evaluate at a point (list of Fq3 limb triples, variable 0 first).
+
+    Accepts lazily-truncated MLEs (length < 2^len(rs)): the zero tail is
+    padded back in as folding shrinks the array to one entry."""
     out = mle
     for r in rs_fq3:
+        if out[0].shape[-2] == 1:
+            z = B.xp.zeros_like(out[0])
+            out = (B.xp.concatenate([out[0], z], axis=-2),
+                   B.xp.concatenate([out[1], z], axis=-2))
         out = fix_variable(out, r)
     lo, hi = out
     return (lo[..., 0, :], hi[..., 0, :])
@@ -59,30 +66,28 @@ def fq3_const(c):
     return tuple(gl.const(x) for x in c)
 
 
-def build_eq_table(r_fq3_list):
+def build_eq_table(r_fq3_list, max_rows=None):
     """eq(r, x) evaluations over the hypercube as an MLE (n, 24) limbs.
 
-    eq(r, x) = prod_i (r_i x_i + (1-r_i)(1-x_i)); variable 0 = LSB.
-    Matches latticefold's build_eq_x_r (utils/sumcheck/utils.rs:123-160).
+    eq(r, x) = prod_i (r_i x_i + (1-r_i)(1-x_i)); variable 0 = LSB (index
+    bit i = x_i).  Matches latticefold's build_eq_x_r
+    (utils/sumcheck/utils.rs:123-160).  Vectorized doubling on device; with
+    max_rows, later doubling steps only extend the kept prefix (exact for
+    consumers that only read rows < max_rows).
     """
-    import numpy as np
     from ..field import host as H
-    # host computation (table built once per sum-check; 2^nv entries)
-    evals = [(1, 0, 0)]
+    cur = from_rings([H.ntt_from_u64(1)], 0)  # (1, 24)
     for r in r_fq3_list:
-        one_minus = H.fq3_sub((1, 0, 0), r)
-        new = []
-        for e in evals:
-            new.append(H.fq3_mul(e, one_minus))
-        for e in evals:
-            new.append(H.fq3_mul(e, r))
-        # variable ordering: r_i is variable i; LSB-first layout means
-        # new[b + 2^i * x_i]; we build MSB-last so prepend accordingly.
-        evals = new
-    # evals indexed with variable i at bit i? We appended x_i as the HIGH bit
-    # each iteration, so after processing [r0, r1, ...], index bit i = x_i. ✓
-    n = len(evals)
-    arr = np.zeros((n, 24), dtype=object)
-    for b, e in enumerate(evals):
-        arr[b, :] = H.ntt_from_fq3(e)
-    return gl.from_int(arr)
+        rd = fq3_const(r)
+        one_minus = fq3_const(H.fq3_sub((1, 0, 0), r))
+        low = rq.ntt_scalar_mul(cur, one_minus)
+        n = cur[0].shape[0]
+        if max_rows is not None and n >= max_rows:
+            cur = low
+            continue
+        high = rq.ntt_scalar_mul(cur, rd)
+        if max_rows is not None and 2 * n > max_rows:
+            high = (high[0][: max_rows - n], high[1][: max_rows - n])
+        cur = (B.xp.concatenate([low[0], high[0]]),
+               B.xp.concatenate([low[1], high[1]]))
+    return cur

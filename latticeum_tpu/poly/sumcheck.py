@@ -15,6 +15,7 @@ verifier run on host ints.
 
 from __future__ import annotations
 
+from .. import backend as B
 from ..field import goldilocks as gl, host as H
 from ..poly import mle as mle_mod
 from ..ring import rq
@@ -22,7 +23,7 @@ from ..ring import rq
 P = H.P
 
 
-def prove(transcript, mles, nv: int, degree: int, comb_fn):
+def prove(transcript, mles, nv: int, degree: int, comb_fn, log=None):
     """Run the sum-check prover.
 
     mles: limb pair of shape (k, 2^nv, 24) — the k multiplicands.
@@ -34,33 +35,48 @@ def prove(transcript, mles, nv: int, degree: int, comb_fn):
     """
     transcript.absorb_u64(nv)
     transcript.absorb_u64(degree)
+    import time
     proof = []
     challenges = []
     cur = mles
-    for _ in range(nv):
+    for _round in range(nv):
+        _rt = time.time()
         lo, hi = cur
         n = lo.shape[-2]
+        if n == 1:
+            # lazily-truncated MLEs: logical length still > 1, tail is zero
+            z = B.xp.zeros_like(lo)
+            lo = B.xp.concatenate([lo, z], axis=-2)
+            hi = B.xp.concatenate([hi, z], axis=-2)
+            cur = (lo, hi)
+            n = 2
         lo2 = lo.reshape(lo.shape[:-2] + (n // 2, 2, 24))
         hi2 = hi.reshape(hi.shape[:-2] + (n // 2, 2, 24))
         v0 = (lo2[..., 0, :], hi2[..., 0, :])
         v1 = (lo2[..., 1, :], hi2[..., 1, :])
-        evals_dev = [comb_fn(v0), comb_fn(v1)]
+        # evaluate the comb at ALL degree+1 points in one batched call:
+        # point axis inserted after the mle axis -> (k, deg+1, half, 24)
+        pts_lo = [v0[0], v1[0]]
+        pts_hi = [v0[1], v1[1]]
         step = gl.sub(v1, v0)
         vals = v1
         for _t in range(2, degree + 1):
             vals = gl.add(vals, step)
-            evals_dev.append(comb_fn(vals))
-        # sum over the hypercube (axis -2) and pull to host
-        round_msg = []
-        for e in evals_dev:
-            s = gl.sum_axis(e, axis=-2)  # (24,) limbs
-            round_msg.append([int(x) for x in gl.to_int(s)])
+            pts_lo.append(vals[0])
+            pts_hi.append(vals[1])
+        stacked = (B.xp.stack(pts_lo, axis=-3), B.xp.stack(pts_hi, axis=-3))
+        evals = comb_fn(stacked)             # (deg+1, half, 24)
+        sums = gl.sum_axis(evals, axis=-2)   # (deg+1, 24)
+        ints = gl.to_int(sums)
+        round_msg = [[int(x) for x in ints[t]] for t in range(degree + 1)]
         transcript.absorb_slice(round_msg)
         proof.append(round_msg)
         r = transcript.get_challenge()
         transcript.absorb_fq3(r)
         challenges.append(r)
         cur = gl.add(v0, rq.ntt_scalar_mul(step, mle_mod.fq3_const(r)))
+        if log:
+            log(f"sumcheck round {_round}: {time.time()-_rt:.1f}s")
     return proof, challenges, cur
 
 

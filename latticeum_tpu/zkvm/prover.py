@@ -1,0 +1,230 @@
+"""IVC driver: run a guest, arithmetize each trace, commit, fold.
+
+Mirrors the reference main loop (latticeum/crates/zkvm/src/main.rs:53-235):
+per instruction — update memory commitments, build IVCStepInput, arithmetize,
+(debug) check_relation, commit z, fold into the running accumulator with a
+FRESH transcript per fold, collect verifier vars, recompute state/acc/step
+commitments.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+from .. import backend as B
+from ..commit.ajtai import AjtaiScheme
+from ..crypto import poseidon2 as p2b
+from ..crypto.transcript import Transcript
+from ..field import goldilocks as gl, host as H
+from ..nifs import linearization as lin, nifs as nifs_mod
+from ..nifs.nifs import DecompositionParams
+from ..nifs.structs import CCCS, Witness
+from ..vm.vm import VM, new_vm_8mb
+from .builder import create_riscv_ccs
+from .collect import generate_verification_witness_vars
+from .commitments import ZERO_COMM, ZkVmCommitter, merkle_open
+from .layout import CCSLayout
+from .params import default_params
+from .witness import IVCStepInput, arithmetize
+
+P = H.P
+
+
+class IncrementalMemTree:
+    """Merkle tree over memory pages with O(log n) updates per write."""
+
+    def __init__(self, vm: VM):
+        rows = np.array([vm.page_words(i) for i in range(vm.page_count)],
+                        dtype=np.uint64)
+        levels = p2b.merkle_root_rows(rows)
+        self.levels = []
+        for lv in levels:
+            ints = gl.to_int(lv)
+            self.levels.append([[int(v) for v in row] for row in ints])
+        self.vm = vm
+
+    def update_page(self, page_index: int):
+        from ..crypto import poseidon2_ref as p2
+        digest = p2.hash_narrow(self.vm.page_words(page_index))
+        self.levels[0][page_index] = digest
+        idx = page_index
+        for lvl in range(len(self.levels) - 1):
+            idx2 = idx ^ 1
+            left = self.levels[lvl][min(idx, idx2)]
+            right = self.levels[lvl][max(idx, idx2)]
+            idx >>= 1
+            self.levels[lvl + 1][idx] = p2.compress8(left, right)
+
+    @property
+    def root(self):
+        return self.levels[-1][0]
+
+    def open(self, page_index: int):
+        return merkle_open(self.levels, page_index)
+
+
+@dataclass
+class IVCState:
+    ivc_step_comm: tuple
+    ivc_step: int
+    z_0_comm: list
+    z_i_comm: list
+    acc_comm: list
+    acc: object
+    w_acc: object
+    folding_proof: object
+    folding_proof_vars: object
+
+
+class ZkVmProver:
+    def __init__(self, params=None, scheme_seed: int = 0, debug: bool = False):
+        self.params = params or default_params()
+        self.layout = CCSLayout(self.params)
+        self.ccs = create_riscv_ccs(self.layout)
+        self.dp = DecompositionParams(B=self.params.B, L=self.params.L,
+                                      B_SMALL=self.params.B_SMALL,
+                                      K=self.params.K)
+        n_ajtai = self.layout.w_size * self.params.L
+        self.scheme = AjtaiScheme.from_seed(self.params.KAPPA, n_ajtai,
+                                            seed=scheme_seed)
+        self.committer = ZkVmCommitter()
+        self.debug = debug
+        self.timings = {}
+
+    # -- pieces ----------------------------------------------------------
+    def initialize_accumulator(self, initial_step_comm=ZERO_COMM):
+        """(main.rs:305-344): zero witness -> linearization -> initial acc."""
+        w = gl.zeros((self.layout.w_size, 24))
+        wit = Witness.from_w_ccs(w, self.params.B, self.params.L)
+        cm = self.scheme.commit_host(wit.f)
+        x_ccs = [H.ntt_from_u64(int(v)) for v in initial_step_comm]
+        cm_i = CCCS(cm=cm, x_ccs=x_ccs)
+        acc, _, _ = lin.prove(cm_i, wit, Transcript(), self.ccs)
+        return acc, wit
+
+    def commit_z(self, z_rings):
+        """(main.rs:347-367): split z, build Witness, Ajtai commit."""
+        lcfg = self.layout
+        x_ccs = z_rings[:self.ccs.l]
+        w_host = z_rings[self.ccs.l + 1:]
+        w_dev = gl.from_int(np.array(w_host, dtype=object))
+        wit = Witness.from_w_ccs(w_dev, self.params.B, self.params.L)
+        cm = self.scheme.commit_host(wit.f)
+        return CCCS(cm=cm, x_ccs=x_ccs), wit
+
+    def fold(self, acc, w_acc, cm_i, w_i):
+        """Fresh transcript per fold (main.rs:379-404)."""
+        t = Transcript()
+        return nifs_mod.prove(acc, w_acc, cm_i, w_i, t, self.ccs,
+                              self.scheme, self.dp)
+
+    def verify_fold(self, acc, cm_i, proof):
+        return nifs_mod.verify(acc, cm_i, proof, Transcript(), self.ccs,
+                               self.dp)
+
+    # -- main loop --------------------------------------------------------
+    def prove_vm(self, vm: VM, max_steps=None, on_step=None):
+        """Run the loaded VM, folding every instruction. Returns IVCState."""
+        committer = self.committer
+        mem_tree = IncrementalMemTree(vm)
+        raw_code = vm.elf.raw_code.bytes
+        code_comm = committer.vm_code_comm(raw_code)
+
+        mem_comm = committer.vm_mem_comm(vm)
+        mem_ops_comm = list(ZERO_COMM)
+        z_0_comm = self._state_comm(code_comm, vm.pc, mem_comm, vm.regs,
+                                    mem_ops_comm)
+
+        acc, w_acc = self.initialize_accumulator()
+        acc_0_comm = committer.acc_comm(acc)
+        step0_comm = committer.ivc_step_comm(0, z_0_comm, z_0_comm,
+                                             acc_0_comm)
+        state = IVCState(ivc_step_comm=step0_comm, ivc_step=0,
+                         z_0_comm=z_0_comm, z_i_comm=z_0_comm,
+                         acc_comm=acc_0_comm, acc=acc, w_acc=w_acc,
+                         folding_proof=None, folding_proof_vars=None)
+
+        steps = [0]
+
+        def intercept(trace, vm_ref):
+            step = trace.cycle + 1
+            if max_steps is not None and step > max_steps:
+                raise StopIteration
+            t0 = time.time()
+            mem_op = trace.side_effects.memory_op
+            nonlocal mem_comm, mem_ops_comm
+            if mem_op is not None:
+                page_idx, _ = vm_ref.physical_addr(mem_op.address & ~0b11)
+                mem_tree.update_page(page_idx)
+                mem_comm = mem_tree.root
+                mem_ops_comm = committer.vm_mem_ops_vec_comm(mem_ops_comm,
+                                                             mem_op)
+
+            inp = IVCStepInput(
+                ivc_step_comm=state.ivc_step_comm,
+                ivc_step=step - 1,
+                state_0_comm=state.z_0_comm,
+                state_comm=state.z_i_comm,
+                acc_comm=state.acc_comm,
+                acc=state.acc,
+                folding_proof_vars=state.folding_proof_vars,
+                w_acc=state.w_acc,
+                trace=trace,
+            )
+            z = arithmetize(inp, self.layout)
+            if self.debug:
+                self._check_relation(z, trace)
+            cm_i, w_i = self.commit_z(z)
+            folded_acc, folded_w, proof = self.fold(state.acc, state.w_acc,
+                                                    cm_i, w_i)
+            if self.debug:
+                self.verify_fold(state.acc, cm_i, proof)
+            fvars = generate_verification_witness_vars(
+                state.acc, cm_i, proof, self.ccs, self.dp, Transcript)
+
+            state_i_comm = self._state_comm(code_comm, trace.output.pc,
+                                            mem_comm, trace.output.regs,
+                                            mem_ops_comm)
+            acc_comm = committer.acc_comm(folded_acc)
+            step_comm = committer.ivc_step_comm(step, state.z_0_comm,
+                                                state_i_comm, acc_comm)
+            state.ivc_step_comm = step_comm
+            state.ivc_step = step
+            state.z_i_comm = state_i_comm
+            state.acc_comm = acc_comm
+            state.acc = folded_acc
+            state.w_acc = folded_w
+            state.folding_proof = proof
+            state.folding_proof_vars = fvars
+            steps[0] = step
+            self.timings.setdefault("step_times", []).append(time.time() - t0)
+            if on_step:
+                on_step(step, state)
+
+        try:
+            vm.run(intercept)
+        except StopIteration:
+            pass
+        state.steps = steps[0]
+        return state
+
+    def _state_comm(self, code_comm, pc, mem_comm, regs, mem_ops_comm):
+        from ..crypto import poseidon2_ref as p2
+        regs_c = p2.hash_wide(list(regs))
+        return p2.hash_wide(list(code_comm) + [pc] + list(mem_comm)
+                            + list(regs_c) + list(mem_ops_comm))
+
+    def _check_relation(self, z_rings, trace):
+        z_dev = gl.from_int(np.array(z_rings, dtype=object))
+        mz = self.ccs.matvecs(z_dev)
+        res = self.ccs.relation_residual(mz)
+        lo = np.asarray(res[0])
+        hi = np.asarray(res[1])
+        bad = np.nonzero((lo != 0).any(axis=-1) | (hi != 0).any(axis=-1))[0]
+        if len(bad):
+            raise AssertionError(
+                f"CCS relation failed for {trace.instruction.name} at rows "
+                f"{bad[:10].tolist()}")

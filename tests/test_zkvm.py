@@ -1,0 +1,94 @@
+"""zkVM component tests: layout constants, builder shape, commitments."""
+
+import numpy as np
+import pytest
+
+from latticeum_tpu.crypto import poseidon2 as p2b, poseidon2_ref as p2
+from latticeum_tpu.field import goldilocks as gl
+from latticeum_tpu.zkvm import commitments as zc
+from latticeum_tpu.zkvm.layout import CCSLayout
+from latticeum_tpu.zkvm.params import default_params
+
+
+def test_layout_matches_reference_constants():
+    p = default_params()
+    lay = CCSLayout(p)
+    assert p.ccs_s == 17
+    assert lay.w_size == 19763          # SURVEY §2.7 computed constants
+    assert lay.z_size == 19768
+    assert lay.w_size * p.L == 98815    # Ajtai N
+
+
+def test_builder_shape():
+    from latticeum_tpu.zkvm.builder import create_riscv_ccs
+    lay = CCSLayout(default_params())
+    ccs = create_riscv_ccs(lay)
+    assert (ccs.t, ccs.q, ccs.d) == (125, 52, 7)
+    assert ccs.m == 1 << 17 and ccs.n == 19768 and ccs.l == 4
+    # flat multiset traversal covers every matrix exactly once, and each
+    # multiset occupies its own index positions (linearization comb relies
+    # on this — see builder docstring)
+    flat = [j for S in ccs.S for j in S]
+    assert sorted(flat) == list(range(125))
+    pos = 0
+    for S in ccs.S:
+        assert sorted(flat[pos:pos + len(S)]) == sorted(S)
+        pos += len(S)
+
+
+def test_merkle_tree_open_verify():
+    rows = [[i, i + 1, i * 7, 5] for i in range(16)]
+    layers = zc.merkle_levels([p2.hash_narrow(r) for r in rows])
+    root = layers[-1][0]
+    for idx in (0, 7, 15):
+        proof = zc.merkle_open(layers, idx)
+        assert zc.merkle_verify(root, p2.hash_narrow(rows[idx]), idx, proof)
+    assert not zc.merkle_verify(root, p2.hash_narrow(rows[0]), 1,
+                                zc.merkle_open(layers, 1))
+
+
+def test_batched_merkle_matches_scalar():
+    rows = np.arange(8 * 12, dtype=np.uint64).reshape(8, 12)
+    levels = p2b.merkle_root_rows(rows)
+    got_root = [int(v) for v in gl.to_int(levels[-1])[0]]
+    scalar = zc.merkle_root_of_rows([list(map(int, r)) for r in rows])
+    assert got_root == scalar
+
+
+def test_nonpow2_code_comm_padding():
+    c = zc.ZkVmCommitter()
+    # 5 halfwords -> padded to 8 leaves with zero digests
+    comm = c.vm_code_comm(bytes(range(10)))
+    leaves = [p2.hash_narrow([int.from_bytes(bytes(range(10))[i:i + 2],
+                                             "little")])
+              for i in range(0, 10, 2)]
+    layers = zc.merkle_levels(leaves)
+    assert comm == layers[-1][0]
+
+
+def test_mem_ops_chain():
+    from latticeum_tpu.vm.vm import MemoryOperation
+    c = zc.ZkVmCommitter()
+    op = MemoryOperation(cycle=3, address=0x40, value=9, is_write=True)
+    got = c.vm_mem_ops_vec_comm([1, 2, 3, 4], op)
+    assert got == p2.perm8([1, 2, 3, 4, 3, 0x40, 9, 0])[:4]
+
+
+def test_incremental_mem_tree():
+    from latticeum_tpu.vm.vm import VM
+    from latticeum_tpu.zkvm.prover import IncrementalMemTree
+    vm = VM(words_per_page=8, page_count=16)
+    vm.instructions = {}
+    tree = IncrementalMemTree(vm)
+    root0 = tree.root
+    vm.write_mem(0x40, 1234)            # page 2 (8 words * 4 bytes = 32B/page)
+    page_idx, _ = vm.physical_addr(0x40)
+    tree.update_page(page_idx)
+    assert tree.root != root0
+    # recompute from scratch agrees
+    fresh = IncrementalMemTree(vm)
+    assert fresh.root == tree.root
+    # opening verifies
+    proof = tree.open(page_idx)
+    assert zc.merkle_verify(tree.root, p2.hash_narrow(vm.page_words(page_idx)),
+                            page_idx, proof)
