@@ -31,6 +31,7 @@ class AjtaiScheme:
         self.matrix = matrix
         self.kappa = kappa
         self.n = n
+        self.row_constant = False
 
     @staticmethod
     def from_seed(kappa: int, n: int, seed: int = 0,
@@ -52,7 +53,10 @@ class AjtaiScheme:
         if row_constant:
             mat = (B.xp.broadcast_to(limbs[0][:, None, :], (kappa, n, 24)),
                    B.xp.broadcast_to(limbs[1][:, None, :], (kappa, n, 24)))
-            return AjtaiScheme(mat, kappa, n)
+            scheme = AjtaiScheme(mat, kappa, n)
+            scheme.rows_limbs = limbs
+            scheme.row_constant = True
+            return scheme
         # full random matrix: sample kappa*n elements
         full = []
         for _k in range(kappa):
@@ -72,6 +76,12 @@ class AjtaiScheme:
     def commit(self, f, chunk: int = 1 << 14):
         """f: (n, 24) NTT limbs -> commitment (kappa, 24) limbs (device)."""
         assert f[0].shape[-2] == self.n, (f[0].shape, self.n)
+        if getattr(self, "row_constant", False):
+            # each row is one ring element repeated: cm_k = a_k * sum_i f_i
+            # (exactly equal to the dense matvec for this matrix structure)
+            total = gl.sum_axis(f, axis=-2)
+            return rq.ntt_mul(self.rows_limbs,
+                              (total[0][None], total[1][None]))
         mlo, mhi = self.matrix
         acc = None
         for start in range(0, self.n, chunk):

@@ -40,19 +40,29 @@ def decode_short_challenge(bs: bytes):
 
 class Transcript:
     def __init__(self):
-        self.ch = p2.DuplexChallenger()
+        from . import native
+        if native.available():
+            self.ch = native.NativeChallenger()
+        else:
+            self.ch = p2.DuplexChallenger()
         self.absorptions: list[list[list[int]]] = []
 
     # -- absorb ------------------------------------------------------------
     def absorb_ring(self, ntt24):
         """Absorb one RqNTT element (24 ints, slot-major)."""
-        for v in ntt24:
-            self.ch.observe(v % P)
+        if hasattr(self.ch, "observe_many"):
+            self.ch.observe_many([v % P for v in ntt24])
+        else:
+            for v in ntt24:
+                self.ch.observe(v % P)
 
     def absorb_slice(self, rings):
         self.absorptions.append([list(r) for r in rings])
-        for r in rings:
-            self.absorb_ring(r)
+        if hasattr(self.ch, "observe_many"):
+            self.ch.observe_many([v % P for r in rings for v in r])
+        else:
+            for r in rings:
+                self.absorb_ring(r)
 
     def absorb_u64(self, c: int):
         """Absorb R::from(c) — scalar embedded in every slot."""

@@ -110,25 +110,44 @@ def create_sumcheck_mles(log_m, f_hat_mles, alpha_s, zeta_s, z_s, ccs,
 
 
 def make_comb_fn(mu_s, b_small, K):
-    """Device comb (folding/utils.rs:269-321):
-    v0·v1 + v2·v3 + Σ_k μ_k-Horner over eq_β·f·Π(f²-b²)."""
+    """comb over stacked g-mles (folding/utils.rs:269-321)."""
+    two = make_comb_fn2(b_small, K)
+    consts = mu_consts(mu_s)
+
     def comb(vals):
+        return two(vals, consts)
+    return comb
+
+
+def mu_consts(mu_s):
+    """Host mu list (Fq3 tuples) -> limb arrays (2K, 3) lo/hi."""
+    arr = np.array([[c % H.P for c in m] for m in mu_s], dtype=object)
+    return gl.from_int(arr)
+
+
+def make_comb_fn2(b_small, K):
+    """Two-arg comb for the device engine: comb(vals, mu_consts (2K,3))."""
+    def comb(vals, consts):
         lo, hi = vals
         result = gl.add(rq.ntt_mul((lo[0], hi[0]), (lo[1], hi[1])),
                         rq.ntt_mul((lo[2], hi[2]), (lo[3], hi[3])))
         eq_b = (lo[4], hi[4])
         for k in range(2 * K):
-            mu_dev = mle_mod.fq3_const(mu_s[k])
+            mu_dev = ((consts[0][k, 0], consts[1][k, 0]),
+                      (consts[0][k, 1], consts[1][k, 1]),
+                      (consts[0][k, 2], consts[1][k, 2]))
             inter = gl.zeros(lo[0].shape)
             for d in range(TAU - 1, -1, -1):
                 f_i = (lo[5 + k * TAU + d], hi[5 + k * TAU + d])
                 f_sq = rq.ntt_mul(f_i, f_i)
                 ev = eq_b
                 for b in range(1, b_small):
-                    bb = gl.from_int(np.array(
-                        H.ntt_from_u64(b * b), dtype=object))
-                    bb = (B.xp.broadcast_to(bb[0], f_sq[0].shape),
-                          B.xp.broadcast_to(bb[1], f_sq[1].shape))
+                    bb = gl.from_int(np.array(H.ntt_from_u64(b * b),
+                                              dtype=object))
+                    bb = (B.xp.broadcast_to(B.xp.asarray(bb[0]),
+                                            f_sq[0].shape),
+                          B.xp.broadcast_to(B.xp.asarray(bb[1]),
+                                            f_sq[1].shape))
                     ev = rq.ntt_mul(ev, gl.sub(f_sq, bb))
                 ev = rq.ntt_mul(ev, f_i)
                 inter = rq.ntt_scalar_mul(gl.add(inter, ev), mu_dev)

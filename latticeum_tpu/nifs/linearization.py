@@ -25,16 +25,26 @@ def _ring_const_dev(c_host, shape):
 
 def make_comb_fn(ccs):
     """comb(vals (t+1, B, 24)) = (Σ_i c_i Π_{j∈S_i} vals[j]) · vals[t]."""
+    two = make_comb_fn2(tuple(tuple(s) for s in ccs.S))
+    import numpy as np
+    consts = gl.from_int(np.array([list(c) for c in ccs.c], dtype=object))
+
     def comb(vals):
+        return two(vals, consts)
+    return comb
+
+
+def make_comb_fn2(S):
+    """Two-arg comb for the device engine: comb(vals, c_consts (q,24))."""
+    def comb(vals, consts):
         lo, hi = vals
-        B = lo.shape[-2]
         total = None
-        for i in range(ccs.q):
+        for i, S_i in enumerate(S):
             had = None
-            for j in ccs.S[i]:
+            for j in S_i:
                 term = (lo[j], hi[j])
                 had = term if had is None else rq.ntt_mul(had, term)
-            ci = _ring_const_dev(ccs.c[i], had[0].shape)
+            ci = (consts[0][i], consts[1][i])
             term = rq.ntt_mul(had, ci)
             total = term if total is None else gl.add(total, term)
         return rq.ntt_mul(total, (lo[-1], hi[-1]))
@@ -80,7 +90,8 @@ def prove(cm_i: CCCS, wit, transcript, ccs, log=None):
     g_hi = B.xp.concatenate([mz[1], eq_tab[1][None]])
     comb = make_comb_fn(ccs)
     proof_sc, chals, _ = sc.prove(transcript, (g_lo, g_hi), ccs.s,
-                                  ccs.d + 1, comb, log=log)
+                                  ccs.d + 1, comb, log=log,
+                                  eq_info=(beta_s, ccs.t))
     _log("sumcheck done")
     point_r = [H.ntt_from_fq3(r) for r in chals]
     v = evaluate_mles_host(wit.f_hat, chals)

@@ -47,6 +47,13 @@ class SparseRingMatrix:
         vals = gl.from_int(np.array([e[2] for e in entries], dtype=object))
         return SparseRingMatrix(nrows, ncols, rows, cols, vals)
 
+    @property
+    def max_row(self):
+        if not hasattr(self, "_max_row"):
+            self._max_row = (int(np.asarray(self.rows).max())
+                             if self.rows.shape[0] else 0)
+        return self._max_row
+
     def matvec(self, z, out_rows: int | None = None):
         """M @ z over the ring. z: (ncols, 24) limbs -> (out_rows, 24)."""
         out_rows = out_rows or self.nrows

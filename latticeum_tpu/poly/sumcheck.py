@@ -23,7 +23,8 @@ from ..ring import rq
 P = H.P
 
 
-def prove(transcript, mles, nv: int, degree: int, comb_fn, log=None):
+def prove(transcript, mles, nv: int, degree: int, comb_fn, log=None,
+          eq_info=None):
     """Run the sum-check prover.
 
     mles: limb pair of shape (k, 2^nv, 24) — the k multiplicands.
@@ -43,13 +44,30 @@ def prove(transcript, mles, nv: int, degree: int, comb_fn, log=None):
         _rt = time.time()
         lo, hi = cur
         n = lo.shape[-2]
-        if n == 1:
-            # lazily-truncated MLEs: logical length still > 1, tail is zero
-            z = B.xp.zeros_like(lo)
-            lo = B.xp.concatenate([lo, z], axis=-2)
-            hi = B.xp.concatenate([hi, z], axis=-2)
+        if n == 1 and _round < nv:
+            # lazily-truncated MLEs collapsed before all variables were
+            # bound.  The remaining logical entries are zero for every
+            # truncated mle, but eq(beta, x) is NOT zero there — rebuild
+            # the true remaining arrays: eq factors out as
+            # (prod_j eq(r_j, beta_j)) * eq-table(beta[_round:]).
+            rest = 1 << (nv - _round)
+            z_lo = B.xp.zeros(lo.shape[:-2] + (rest - 1, 24), lo.dtype)
+            lo = B.xp.concatenate([lo, z_lo], axis=-2)
+            hi = B.xp.concatenate([hi, z_lo], axis=-2)
+            if eq_info is not None:
+                beta_list, eq_index = eq_info
+                scale = (1, 0, 0)
+                for rj, bj in zip(challenges, beta_list):
+                    xy = H.fq3_mul(rj, bj)
+                    scale = H.fq3_mul(scale, H.fq3_sub(
+                        H.fq3_add(H.fq3_add(xy, xy), (1, 0, 0)),
+                        H.fq3_add(rj, bj)))
+                tab = mle_mod.build_eq_table(beta_list[_round:])
+                tab = rq.ntt_scalar_mul(tab, mle_mod.fq3_const(scale))
+                lo = B.at_set(lo, (eq_index,), tab[0])
+                hi = B.at_set(hi, (eq_index,), tab[1])
             cur = (lo, hi)
-            n = 2
+            n = rest
         lo2 = lo.reshape(lo.shape[:-2] + (n // 2, 2, 24))
         hi2 = hi.reshape(hi.shape[:-2] + (n // 2, 2, 24))
         v0 = (lo2[..., 0, :], hi2[..., 0, :])

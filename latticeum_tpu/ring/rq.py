@@ -44,14 +44,88 @@ def matvec24(mat, x):
     return B.barrier(gl.sum_axis(prod, axis=-1))
 
 
+def _cols(x):
+    return [(x[0][..., i], x[1][..., i]) for i in range(D)]
+
+
+def _from_cols(cols):
+    return (B.xp.stack([c[0] for c in cols], axis=-1),
+            B.xp.stack([c[1] for c in cols], axis=-1))
+
+
+def _cmul(c, const):
+    return gl.mul(c, (B.xp.broadcast_to(B.xp.asarray(np.uint32(const & 0xFFFFFFFF)), c[0].shape),
+                      B.xp.broadcast_to(B.xp.asarray(np.uint32(const >> 32)), c[1].shape)))
+
+
 def crt(x):
-    """coeff form -> NTT form, batched."""
-    return matvec24(CRT_MAT, x)
+    """coeff form -> NTT form, batched butterfly network (ntt.rs:135-228).
+
+    Vectorized over the batch; ~60 column ops instead of a dense 24x24
+    contraction (the dense path remains as matvec24(CRT_MAT, .))."""
+    R = ref_impl.ROOTS
+    c = _cols(x)
+    for i in range(12):
+        a, b = c[i], c[12 + i]
+        zb = _cmul(b, R[4])
+        c[i] = gl.add(a, zb)
+        c[12 + i] = gl.sub(gl.add(a, b), zb)
+    for i in range(6):
+        a, b = c[i], c[6 + i]
+        sb = _cmul(b, R[2])
+        c[i], c[6 + i] = gl.add(a, sb), gl.sub(a, sb)
+        a, b = c[12 + i], c[18 + i]
+        sb = _cmul(b, R[10])
+        c[12 + i], c[18 + i] = gl.add(a, sb), gl.sub(a, sb)
+    for base, r in ((0, 1), (6, 7), (12, 5), (18, 11)):
+        for i in range(3):
+            a, b = c[base + i], c[base + 3 + i]
+            sb = _cmul(b, R[r])
+            c[base + i], c[base + 3 + i] = gl.add(a, sb), gl.sub(a, sb)
+    # homogenize (ntt.rs:326-437)
+    c[4] = gl.neg(c[4])
+    c[7] = _cmul(c[7], R[2])
+    c[8] = _cmul(c[8], R[4])
+    c[10] = _cmul(c[10], R[6])
+    c[11] = _cmul(c[11], R[12])
+    for base, r1, r2 in ((12, 3, 1), (15, 11, 5), (18, 7, 3), (21, 15, 7)):
+        c1 = c[base + 1]
+        c[base + 1] = _cmul(c[base + 2], R[r1])
+        c[base + 2] = _cmul(c1, R[r2])
+    return _from_cols(c)
 
 
 def icrt(x):
-    """NTT form -> coeff form, batched."""
-    return matvec24(ICRT_MAT, x)
+    """NTT form -> coeff form, batched butterfly network (ntt.rs:240-319)."""
+    R = ref_impl.ROOTS
+    c = _cols(x)
+    # dehomogenize
+    c[4] = gl.neg(c[4])
+    c[7] = _cmul(c[7], R[22])
+    c[8] = _cmul(c[8], R[20])
+    c[10] = _cmul(c[10], R[18])
+    c[11] = _cmul(c[11], R[12])
+    for base, r1, r2 in ((12, 23, 21), (15, 19, 13), (18, 21, 17),
+                         (21, 17, 9)):
+        c1 = c[base + 1]
+        c[base + 1] = _cmul(c[base + 2], R[r1])
+        c[base + 2] = _cmul(c1, R[r2])
+    for base, r in ((0, 23), (6, 17), (12, 19), (18, 13)):
+        for i in range(3):
+            a, b = c[base + i], c[base + 3 + i]
+            c[base + i] = gl.add(a, b)
+            c[base + 3 + i] = _cmul(gl.sub(a, b), R[r])
+    for base, r in ((0, 22), (12, 14)):
+        for i in range(6):
+            a, b = c[base + i], c[base + 6 + i]
+            c[base + i] = gl.add(a, b)
+            c[base + 6 + i] = _cmul(gl.sub(a, b), R[r])
+    for i in range(12):
+        a, b = c[i], c[12 + i]
+        kd = _cmul(gl.sub(a, b), ref_impl.KAPPA)
+        c[i] = _cmul(gl.sub(gl.add(a, b), kd), ref_impl.EIGHT_INV)
+        c[12 + i] = _cmul(kd, ref_impl.FOUR_INV)
+    return _from_cols(c)
 
 
 def _as_slots(x):

@@ -1,0 +1,392 @@
+"""Device-resident NIFS prover: the full fold on TPU with a host transcript.
+
+Mirrors the host implementations in latticeum_tpu.nifs.* exactly (same
+transcript, same messages) but keeps every large tensor on device:
+  * witness pipelines (ICRT -> gadget decompose -> CRT -> f_hat) as jits,
+  * linearization/folding sum-checks via DeviceEngine.sumcheck,
+  * Ajtai commitments, evaluation claims, challenged-Mz combination on device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import backend as B
+from ..field import goldilocks as gl, host as H
+from ..nifs import decomposition as dec, folding as fold, linearization as lin
+from ..nifs import nifs as nifs_mod
+from ..nifs.structs import CCCS, LCCCS, TAU, Witness
+from ..poly import mle as mle_mod
+from ..ring import decompose as dc, rq
+
+
+class DeviceWitness:
+    """Witness with device-resident tensors."""
+
+    def __init__(self, w_ccs, f_coeff, f, f_hat):
+        self.w_ccs = w_ccs
+        self.f_coeff = f_coeff
+        self.f = f
+        self.f_hat = f_hat
+
+
+class DeviceNifs:
+    def __init__(self, engine, ccs, params, ajtai_rows):
+        """ajtai_rows: host (kappa, 24) ints — the row-constant Ajtai rows
+        (commitment_scheme.rs:29-33 structure)."""
+        self.e = engine
+        self.ccs = ccs
+        self.p = params
+        with B.jax_mode():
+            self.ajtai_rows = engine.put(gl.from_int(
+                np.array(ajtai_rows, dtype=object)))
+        self._cap = max(M.max_row for M in ccs.M) + 1
+        self._cap_pow2 = min(1 << (self._cap - 1).bit_length(), ccs.m)
+        self._lin_comb = lin.make_comb_fn2(tuple(tuple(s) for s in ccs.S))
+        with B.numpy_mode():
+            self._lin_consts = gl.from_int(
+                np.array([list(c) for c in ccs.c], dtype=object))
+        self._lin_consts_dev = engine.put(self._lin_consts)
+        self._fold_comb = fold.make_comb_fn2(params.B_SMALL, params.K)
+
+    # -- witness pipeline -------------------------------------------------
+    def build_witness(self, w_dev):
+        """w_ccs (nw, 24) device -> DeviceWitness (jitted pipeline)."""
+        Bp, L = self.p.B, self.p.L
+
+        def fn(w):
+            w_coeff = rq.icrt(w)
+            f_coeff = dc.gadget_decompose(w_coeff, Bp, L)
+            f = rq.crt(f_coeff)
+            f_hat = Witness.build_fhat(f_coeff)
+            return f_coeff, f, f_hat
+
+        nw = int(w_dev[0].shape[0])
+        jf = self.e._jit(("witness", nw), fn)
+        with B.jax_mode():
+            f_coeff, f, f_hat = jf(w_dev)
+        return DeviceWitness(w_dev, f_coeff, f, f_hat)
+
+    def witness_from_f_coeff(self, f_coeff_dev):
+        Bp, L = self.p.B, self.p.L
+
+        def fn(f_coeff):
+            f = rq.crt(f_coeff)
+            w = dc.gadget_recompose(f, Bp, L)
+            f_hat = Witness.build_fhat(f_coeff)
+            return f, w, f_hat
+
+        nf = int(f_coeff_dev[0].shape[0])
+        jf = self.e._jit(("witness_f", nf), fn)
+        with B.jax_mode():
+            f, w, f_hat = jf(f_coeff_dev)
+        return DeviceWitness(w, f_coeff_dev, f, f_hat)
+
+    def commit(self, f_dev):
+        """Row-constant Ajtai: cm_k = row_k · Σ_i f_i (exact for the
+        reference's matrix structure) -> host rings."""
+        def fn(rows, f):
+            total = gl.sum_axis(f, axis=-2)              # (24,)
+            prod = rq.ntt_mul(rows, (total[0][None], total[1][None]))
+            return prod
+
+        n = int(f_dev[0].shape[0])
+        jf = self.e._jit(("ajtai_rc", n), fn)
+        with B.jax_mode():
+            cm = jf(self.ajtai_rows, f_dev)
+        ints = gl.to_int(self.e.get(cm))
+        return [[int(v) for v in r] for r in ints]
+
+    # -- linearization ----------------------------------------------------
+    def lin_prove(self, cm_i: CCCS, wit: DeviceWitness, transcript, log=None):
+        ccs = self.ccs
+        beta_s = lin.squeeze_beta(transcript, ccs.s)
+        with B.numpy_mode():
+            head = gl.from_int(np.array(
+                [list(x) for x in cm_i.x_ccs] + [H.ntt_from_u64(1)],
+                dtype=object))
+        with B.jax_mode():
+            z_dev = (B.xp.concatenate([self.e.put(head)[0], wit.w_ccs[0]]),
+                     B.xp.concatenate([self.e.put(head)[1], wit.w_ccs[1]]))
+        mz = self.e.matvecs(z_dev, self._cap_pow2)
+        eq_dev = self.e.eq_table(beta_s, self._cap_pow2)
+        with B.jax_mode():
+            g = (B.xp.concatenate([mz[0], eq_dev[0][None]]),
+                 B.xp.concatenate([mz[1], eq_dev[1][None]]))
+        proof_sc, chals, _ = self.e.sumcheck(
+            transcript, g, ccs.s, ccs.d + 1, "lin", self._lin_comb,
+            self._lin_consts_dev, log=log, eq_info=(beta_s, ccs.t))
+        eq_r = self.e.eq_table(chals, None)
+        v = self.e.eval_mles_at(wit.f_hat, eq_r)
+        u = self.e.eval_mles_at(mz, self.e.trunc(eq_r, self._cap_pow2))
+        transcript.absorb_slice(v)
+        transcript.absorb_slice(u)
+        proof = {"sumcheck": proof_sc, "v": v, "u": u}
+        point_r = [H.ntt_from_fq3(r) for r in chals]
+        lcccs = LCCCS(r=point_r, v=v, cm=[list(x) for x in cm_i.cm], u=u,
+                      x_w=[list(x) for x in cm_i.x_ccs],
+                      h=H.ntt_from_u64(1))
+        return lcccs, proof, z_dev
+
+    # -- decomposition ----------------------------------------------------
+    def dec_prove(self, cm_i: LCCCS, wit: DeviceWitness, transcript,
+                  log=None):
+        p = self.p
+        ccs = self.ccs
+        point = [H.ntt_slots(r)[0] for r in cm_i.r]
+
+        # split f_coeff into K small witnesses on device
+        def split_fn(f_coeff):
+            ks = dc.decompose_vec_into_k_vecs(f_coeff, p.B_SMALL, p.K)
+            return ks
+
+        nf = int(wit.f_coeff[0].shape[0])
+        jf = self.e._jit(("split", nf), split_fn)
+        with B.jax_mode():
+            ks = jf(wit.f_coeff)
+        wit_s = [self.witness_from_f_coeff((ks[0][k], ks[1][k]))
+                 for k in range(p.K)]
+
+        with B.numpy_mode():
+            x_s = dec.compute_x_s(cm_i.x_w, cm_i.h, p)
+
+        # commitments: y_0 reconstructed
+        ys_tail = [self.commit(w.f) for w in wit_s[1:]]
+        with B.numpy_mode():
+            acc = [[0] * 24 for _ in range(len(cm_i.cm))]
+            for y in reversed(ys_tail):
+                acc = [H.ntt_scalar_mul(H.ntt_add(a, yi),
+                                        H.fq3_scalar(p.B_SMALL))
+                       for a, yi in zip(acc, y)]
+            y0 = [H.ntt_sub(list(c), a) for c, a in zip(cm_i.cm, acc)]
+        y_s = [y0] + ys_tail
+
+        eq_r = self.e.eq_table(point, None)
+        v_s = [self.e.eval_mles_at(w.f_hat, eq_r) for w in wit_s]
+
+        eqT = self.eqT(point)
+        z_s = []
+        u_s = []
+        for k in range(p.K):
+            with B.numpy_mode():
+                head = gl.from_int(np.array(
+                    [list(v) for v in x_s[k]], dtype=object))
+            hd = self.e.put(head)
+            with B.jax_mode():
+                z = (B.xp.concatenate([hd[0], wit_s[k].w_ccs[0]]),
+                     B.xp.concatenate([hd[1], wit_s[k].w_ccs[1]]))
+            z_s.append(z)
+            u_s.append(self.eval_claims(eqT, z))
+
+        lcccs_s = []
+        for k in range(p.K):
+            transcript.absorb_slice(x_s[k])
+            transcript.absorb_slice(y_s[k])
+            transcript.absorb_slice(u_s[k])
+            transcript.absorb_slice(v_s[k])
+            lcccs_s.append(LCCCS(r=[list(r) for r in cm_i.r], v=v_s[k],
+                                 cm=y_s[k], u=u_s[k], x_w=x_s[k][:-1],
+                                 h=x_s[k][-1]))
+        proof = {"u_s": u_s, "v_s": v_s, "x_s": x_s, "y_s": y_s}
+        return z_s, lcccs_s, wit_s, proof
+
+    def eqT(self, point):
+        """(t, n, 24) M_j^T eq rows on device."""
+        eq_dev = self.e.eq_table(point, self._cap)
+
+        def fn(e):
+            outs = []
+            for M in self.e.M_dev:
+                yg = (e[0][M["rows"]], e[1][M["rows"]])
+                if M["vals"][0].ndim == 1:
+                    sv = (M["vals"][0][:, None], M["vals"][1][:, None])
+                    prod = gl.mul(sv, yg)
+                else:
+                    prod = rq.ntt_mul(M["vals"], yg)
+                s = B.segment_sum(
+                    B.xp.moveaxis(B.xp.stack(
+                        [prod[0] & gl.MASK16, prod[0] >> 16,
+                         prod[1] & gl.MASK16, prod[1] >> 16]), 0, -1),
+                    M["cols"], self.ccs.n)
+                outs.append(gl._combine_cols_small(B.xp.moveaxis(s, -1, 0)))
+            return (B.xp.stack([o[0] for o in outs]),
+                    B.xp.stack([o[1] for o in outs]))
+
+        jf = self.e._jit(("eqT",), fn)
+        with B.jax_mode():
+            return jf(eq_dev)
+
+    def eval_claims(self, eqT_dev, z_dev):
+        def fn(w, z):
+            prod = rq.ntt_mul(w, (z[0][None], z[1][None]))
+            return gl.sum_axis(prod, axis=-2)
+
+        jf = self.e._jit(("evalclaims",), fn)
+        with B.jax_mode():
+            out = jf(eqT_dev, z_dev)
+        ints = gl.to_int(self.e.get(out))
+        return [[int(v) for v in r] for r in ints]
+
+    # -- folding ----------------------------------------------------------
+    def fold_prove(self, cm_i_s, wit_s, transcript, z_s, log=None):
+        p, ccs = self.p, self.ccs
+        K, b_small = p.K, p.B_SMALL
+        log_m = ccs.s
+        alpha_s, beta_s, zeta_s, mu_s = fold.squeeze_alpha_beta_zeta_mu(
+            transcript, log_m, K)
+
+        g = self._build_g(wit_s, z_s, cm_i_s, alpha_s, zeta_s, beta_s, K)
+        with B.numpy_mode():
+            mu_c = fold.mu_consts(mu_s)
+        proof_sc, chals, _ = self.e.sumcheck(
+            transcript, g, log_m, 2 * b_small, "fold", self._fold_comb,
+            self.e.put(mu_c), log=log)
+        r_0 = chals
+
+        eq_r0_full = self.e.eq_table(r_0, None)
+        theta_s = [self.e.eval_mles_at(w.f_hat, eq_r0_full) for w in wit_s]
+        eqT_r0 = self.eqT(r_0)
+        eta_s = [self.eval_claims(eqT_r0, z) for z in z_s]
+        for th in theta_s:
+            transcript.absorb_slice(th)
+        for et in eta_s:
+            transcript.absorb_slice(et)
+        rho_coeff, rho_ntt = fold.get_rhos(transcript, K)
+
+        # f_0 = Σ ρ_i f_i on device
+        def f0_fn(fs, rhos):
+            prod = rq.ntt_mul(fs, rhos)
+            return gl.sum_axis(prod, axis=0)
+
+        with B.jax_mode():
+            fs = (B.xp.stack([w.f[0] for w in wit_s]),
+                  B.xp.stack([w.f[1] for w in wit_s]))
+        with B.numpy_mode():
+            rh = gl.from_int(np.array([[list(r)] for r in rho_ntt],
+                                      dtype=object))  # (2K, 1, 24)
+        jf = self.e._jit(("f0",), f0_fn)
+        with B.jax_mode():
+            f0 = jf(fs, self.e.put(rh))
+
+        with B.numpy_mode():
+            v_0, cm_0, u_0, x_0 = fold.compute_v0_u0_x0_cm0(
+                rho_coeff, rho_ntt, theta_s, cm_i_s, eta_s, ccs)
+        h = x_0[-1]
+        lcccs = LCCCS(r=[H.ntt_from_fq3(c) for c in r_0], v=v_0, cm=cm_0,
+                      u=u_0, x_w=x_0[:-1], h=h)
+        w_0 = self.witness_from_f(f0)
+        proof = {"sumcheck": proof_sc, "theta_s": theta_s, "eta_s": eta_s}
+        return lcccs, w_0, proof
+
+    def witness_from_f(self, f_dev):
+        Bp, L = self.p.B, self.p.L
+
+        def fn(f):
+            f_coeff = rq.icrt(f)
+            w = dc.gadget_recompose(f, Bp, L)
+            f_hat = Witness.build_fhat(f_coeff)
+            return f_coeff, w, f_hat
+
+        nf = int(f_dev[0].shape[0])
+        jf = self.e._jit(("witness_from_f", nf), fn)
+        with B.jax_mode():
+            f_coeff, w, f_hat = jf(f_dev)
+        return DeviceWitness(w, f_coeff, f_dev, f_hat)
+
+    def _build_g(self, wit_s, z_s, cm_i_s, alpha_s, zeta_s, beta_s, K):
+        """g MLE stack on device (one jit): eq_r1, comb1, eq_r2, comb2,
+        eq_beta, fhat[0..2K][0..TAU]."""
+        ccs = self.ccs
+        m = ccs.m
+        t = ccs.t
+        r1 = [H.ntt_slots(r)[0] for r in cm_i_s[0].r]
+        r2 = [H.ntt_slots(r)[0] for r in cm_i_s[K].r]
+        eq_r1 = self.e.eq_table(r1, None)
+        eq_r2 = self.e.eq_table(r2, None)
+        eq_b = self.e.eq_table(beta_s, None)
+
+        with B.numpy_mode():
+            alpha_c = fold.mu_consts(alpha_s)   # (2K, 3) limbs
+            zeta_pows = np.empty((2 * K, t, 3), dtype=object)
+            for i in range(2 * K):
+                pw = zeta_s[i]
+                for j in range(t):
+                    zeta_pows[i, j] = list(H.fq3_pow(zeta_s[i], j + 1))
+            zeta_c = gl.from_int(zeta_pows)      # (2K, t, 3) limbs
+
+        def fn(fhats, zs, eq1, eq2, eqb, alpha, zeta):
+            # fhats: (2K, TAU, m, 24); zs: (2K, n, 24)
+            parts_lo, parts_hi = [], []
+
+            def half(lo_idx, hi_idx):
+                acc = gl.zeros((m, 24))
+                for i in range(lo_idx, hi_idx):
+                    a_i = ((alpha[0][i, 0], alpha[1][i, 0]),
+                           (alpha[0][i, 1], alpha[1][i, 1]),
+                           (alpha[0][i, 2], alpha[1][i, 2]))
+                    h_acc = gl.zeros((m, 24))
+                    for d in range(TAU - 1, -1, -1):
+                        h_acc = rq.ntt_scalar_mul(
+                            gl.add(h_acc, (fhats[0][i, d], fhats[1][i, d])),
+                            a_i)
+                    acc = gl.add(acc, h_acc)
+                # challenged Mz via combined z
+                for j in range(t):
+                    comb = gl.zeros((ccs.n, 24))
+                    for i in range(lo_idx, hi_idx):
+                        zc = ((zeta[0][i, j, 0], zeta[1][i, j, 0]),
+                              (zeta[0][i, j, 1], zeta[1][i, j, 1]),
+                              (zeta[0][i, j, 2], zeta[1][i, j, 2]))
+                        comb = gl.add(comb, rq.ntt_scalar_mul(
+                            (zs[0][i], zs[1][i]), zc))
+                    M = self.e.M_dev[j]
+                    zg = (comb[0][M["cols"]], comb[1][M["cols"]])
+                    if M["vals"][0].ndim == 1:
+                        sv = (M["vals"][0][:, None], M["vals"][1][:, None])
+                        prod = gl.mul(sv, zg)
+                    else:
+                        prod = rq.ntt_mul(M["vals"], zg)
+                    s = B.segment_sum(
+                        B.xp.moveaxis(B.xp.stack(
+                            [prod[0] & gl.MASK16, prod[0] >> 16,
+                             prod[1] & gl.MASK16, prod[1] >> 16]), 0, -1),
+                        M["rows"], m)
+                    mzj = gl._combine_cols_small(B.xp.moveaxis(s, -1, 0))
+                    acc = gl.add(acc, mzj)
+                return acc
+
+            c1 = half(0, K)
+            c2 = half(K, 2 * K)
+            parts = [eq1, c1, eq2, c2, eqb]
+            for i in range(2 * K):
+                for d in range(TAU):
+                    parts.append((fhats[0][i, d], fhats[1][i, d]))
+            return (B.xp.stack([x[0] for x in parts]),
+                    B.xp.stack([x[1] for x in parts]))
+
+        with B.jax_mode():
+            fhats = (B.xp.stack([w.f_hat[0] for w in wit_s]),
+                     B.xp.stack([w.f_hat[1] for w in wit_s]))
+            zs = (B.xp.stack([z[0] for z in z_s]),
+                  B.xp.stack([z[1] for z in z_s]))
+        jf = self.e._jit(("build_g",), fn)
+        with B.jax_mode():
+            return jf(fhats, zs, eq_r1, eq_r2, eq_b,
+                      self.e.put(alpha_c), self.e.put(zeta_c))
+
+    # -- composition ------------------------------------------------------
+    def prove(self, acc, w_acc: DeviceWitness, cm_i, w_i: DeviceWitness,
+              transcript, log=None):
+        nifs_mod.sanity_check(self.ccs, self.p)
+        nifs_mod.absorb_public_input(acc, cm_i, transcript)
+        linearized, lin_proof, _ = self.lin_prove(cm_i, w_i, transcript,
+                                                  log=log)
+        z_l, lc_l, ws_l, dp_l = self.dec_prove(acc, w_acc, transcript,
+                                               log=log)
+        z_r, lc_r, ws_r, dp_r = self.dec_prove(linearized, w_i, transcript,
+                                               log=log)
+        folded, w0, fp = self.fold_prove(lc_l + lc_r, ws_l + ws_r,
+                                         transcript, z_l + z_r, log=log)
+        proof = {"linearization": lin_proof, "decomposition_l": dp_l,
+                 "decomposition_r": dp_r, "folding": fp}
+        return folded, w0, proof

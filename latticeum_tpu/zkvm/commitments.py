@@ -18,15 +18,26 @@ a real 10-level tree.  Both behaviors are replicated.
 
 from __future__ import annotations
 
-from ..crypto import poseidon2_ref as p2
+from ..crypto import native, poseidon2_ref as p2
 from ..field import host as H
 
 P = H.P
 ZERO_COMM = [0, 0, 0, 0]
+_NATIVE = native.available()
 
 
 def _leaf_digest(row_words):
+    if _NATIVE:
+        return native.hash_narrow(list(row_words))
     return p2.hash_narrow(row_words)
+
+
+def hash_narrow(vals):
+    return native.hash_narrow(list(vals)) if _NATIVE else p2.hash_narrow(vals)
+
+
+def hash_wide(vals):
+    return native.hash_wide(list(vals)) if _NATIVE else p2.hash_wide(vals)
 
 
 def merkle_levels(leaf_digests):
@@ -74,7 +85,7 @@ class ZkVmCommitter:
     def vm_mem_comm(self, vm) -> list:
         """1024 single-row matrices -> one digest over all words
         (commitments.rs:192-217 + Plonky3 tallest-matrix concatenation)."""
-        return p2.hash_narrow(vm.memory_words())
+        return hash_narrow(vm.memory_words())
 
     def vm_mem_comm_with_opening(self, vm, mem_op):
         """Single (page_count x words_per_page) matrix tree + page opening."""
@@ -103,7 +114,7 @@ class ZkVmCommitter:
         return merkle_root_of_rows([[hw] for hw in halfwords])
 
     def vm_regs_comm(self, regs) -> list:
-        return p2.hash_wide(list(regs))
+        return hash_wide(list(regs))
 
     def vm_mem_ops_vec_comm(self, previous_comm, mem_op) -> list:
         """Hash chain H(prev, (cycle, addr, value, 0)) (commitments.rs:291-307)."""
@@ -115,7 +126,7 @@ class ZkVmCommitter:
                      mem_ops_vec_comm) -> list:
         code = self.vm_code_comm(code_bytes)
         regs_c = self.vm_regs_comm(regs)
-        return p2.hash_wide(
+        return hash_wide(
             list(code) + [pc] + list(memory_comm) + list(regs_c)
             + list(mem_ops_vec_comm))
 
@@ -125,7 +136,7 @@ class ZkVmCommitter:
         for group in (acc.r, acc.v, acc.cm, acc.u, acc.x_w, [acc.h]):
             for ring in group:
                 vals.extend(H.icrt(ring))
-        return p2.hash_wide(vals)
+        return hash_wide(vals)
 
     def ivc_step_comm(self, i, state_0_comm, state_i_comm, acc_comm):
         """13-element preimage -> digest + recorded perm states

@@ -37,18 +37,28 @@ class IncrementalMemTree:
     """Merkle tree over memory pages with O(log n) updates per write."""
 
     def __init__(self, vm: VM):
+        from ..crypto import native
         rows = np.array([vm.page_words(i) for i in range(vm.page_count)],
                         dtype=np.uint64)
-        levels = p2b.merkle_root_rows(rows)
-        self.levels = []
-        for lv in levels:
-            ints = gl.to_int(lv)
-            self.levels.append([[int(v) for v in row] for row in ints])
+        if native.available():
+            lvl = native.hash_rows_narrow(rows)
+            self.levels = [[[int(v) for v in d] for d in lvl]]
+            while len(self.levels[-1]) > 1:
+                nxt = native.compress_level(
+                    np.array(self.levels[-1], dtype=np.uint64))
+                self.levels.append([[int(v) for v in d] for d in nxt])
+        else:
+            levels = p2b.merkle_root_rows(rows)
+            self.levels = []
+            for lv in levels:
+                ints = gl.to_int(lv)
+                self.levels.append([[int(v) for v in row] for row in ints])
         self.vm = vm
 
     def update_page(self, page_index: int):
+        from .commitments import hash_narrow as _hn
         from ..crypto import poseidon2_ref as p2
-        digest = p2.hash_narrow(self.vm.page_words(page_index))
+        digest = _hn(self.vm.page_words(page_index))
         self.levels[0][page_index] = digest
         idx = page_index
         for lvl in range(len(self.levels) - 1):
@@ -212,10 +222,10 @@ class ZkVmProver:
         return state
 
     def _state_comm(self, code_comm, pc, mem_comm, regs, mem_ops_comm):
-        from ..crypto import poseidon2_ref as p2
-        regs_c = p2.hash_wide(list(regs))
-        return p2.hash_wide(list(code_comm) + [pc] + list(mem_comm)
-                            + list(regs_c) + list(mem_ops_comm))
+        from .commitments import hash_wide
+        regs_c = hash_wide(list(regs))
+        return hash_wide(list(code_comm) + [pc] + list(mem_comm)
+                         + list(regs_c) + list(mem_ops_comm))
 
     def _check_relation(self, z_rings, trace):
         z_dev = gl.from_int(np.array(z_rings, dtype=object))
