@@ -182,9 +182,9 @@ class VM:
         return self
 
     # --- execution -------------------------------------------------------
-    def run(self, intercept=None, max_cycles=None):
+    def run(self, intercept=None, max_cycles=None, start_cycle=0):
         """(vm.rs:244-311): halt on jump-to-self or invalid pc."""
-        cycle = 0
+        cycle = start_cycle
         while True:
             inst = self.instructions.get(self.pc)
             if inst is None:

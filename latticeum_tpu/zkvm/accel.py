@@ -23,12 +23,14 @@ from ..ring import rq
 
 
 def _ensure_cache():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          "/tmp/latticeum_jax_cache")
+    """Persistent compile cache, keyed per backend platform (a cache shared
+    between the axon remote-compile target and the local CPU loads AOT
+    artifacts for the wrong machine)."""
     import jax
+    plat = jax.default_backend()
+    cache = f"/tmp/latticeum_jax_cache_{plat}"
     try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_compilation_cache_dir", cache)
     except Exception:
         pass
 

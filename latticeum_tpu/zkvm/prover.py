@@ -136,28 +136,57 @@ class ZkVmProver:
                                self.dp)
 
     # -- main loop --------------------------------------------------------
-    def prove_vm(self, vm: VM, max_steps=None, on_step=None):
-        """Run the loaded VM, folding every instruction. Returns IVCState."""
+    def prove_vm(self, vm: VM, max_steps=None, on_step=None,
+                 checkpoint_dir=None, checkpoint_every=10, resume=False):
+        """Run the loaded VM, folding every instruction. Returns IVCState.
+
+        With checkpoint_dir, the resumable IVC state is written every
+        `checkpoint_every` folds; resume=True restores the newest checkpoint
+        (VM machine state included) and continues from there.
+        """
+        from . import checkpoint as ckpt
         committer = self.committer
-        mem_tree = IncrementalMemTree(vm)
         raw_code = vm.elf.raw_code.bytes
         code_comm = committer.vm_code_comm(raw_code)
 
-        mem_comm = committer.vm_mem_comm(vm)
-        mem_ops_comm = list(ZERO_COMM)
-        z_0_comm = self._state_comm(code_comm, vm.pc, mem_comm, vm.regs,
-                                    mem_ops_comm)
+        start_cycle = 0
+        resumed = None
+        if resume and checkpoint_dir:
+            path = ckpt.latest(checkpoint_dir)
+            if path:
+                meta, acc_r, w_acc_r, step_comm_r = ckpt.load(
+                    path, vm, self.params)
+                resumed = (meta, acc_r, w_acc_r, step_comm_r)
 
-        acc, w_acc = self.initialize_accumulator()
-        acc_0_comm = committer.acc_comm(acc)
-        step0_comm = committer.ivc_step_comm(0, z_0_comm, z_0_comm,
-                                             acc_0_comm)
-        state = IVCState(ivc_step_comm=step0_comm, ivc_step=0,
-                         z_0_comm=z_0_comm, z_i_comm=z_0_comm,
-                         acc_comm=acc_0_comm, acc=acc, w_acc=w_acc,
-                         folding_proof=None, folding_proof_vars=None)
+        mem_tree = IncrementalMemTree(vm)
 
-        steps = [0]
+        if resumed is None:
+            mem_comm = committer.vm_mem_comm(vm)
+            mem_ops_comm = list(ZERO_COMM)
+            z_0_comm = self._state_comm(code_comm, vm.pc, mem_comm, vm.regs,
+                                        mem_ops_comm)
+            acc, w_acc = self.initialize_accumulator()
+            acc_0_comm = committer.acc_comm(acc)
+            step0_comm = committer.ivc_step_comm(0, z_0_comm, z_0_comm,
+                                                 acc_0_comm)
+            state = IVCState(ivc_step_comm=step0_comm, ivc_step=0,
+                             z_0_comm=z_0_comm, z_i_comm=z_0_comm,
+                             acc_comm=acc_0_comm, acc=acc, w_acc=w_acc,
+                             folding_proof=None, folding_proof_vars=None)
+        else:
+            meta, acc_r, w_acc_r, step_comm_r = resumed
+            mem_comm = mem_tree.root
+            mem_ops_comm = list(meta["mem_ops_comm"])
+            state = IVCState(ivc_step_comm=step_comm_r,
+                             ivc_step=meta["step"],
+                             z_0_comm=meta["z_0_comm"],
+                             z_i_comm=meta["z_i_comm"],
+                             acc_comm=meta["acc_comm"], acc=acc_r,
+                             w_acc=w_acc_r, folding_proof=None,
+                             folding_proof_vars=None)
+            start_cycle = meta["step"]
+
+        steps = [state.ivc_step]
 
         def intercept(trace, vm_ref):
             step = trace.cycle + 1
@@ -211,11 +240,17 @@ class ZkVmProver:
             state.folding_proof_vars = fvars
             steps[0] = step
             self.timings.setdefault("step_times", []).append(time.time() - t0)
+            if checkpoint_dir and step % checkpoint_every == 0:
+                import os
+                os.makedirs(checkpoint_dir, exist_ok=True)
+                ckpt.save(os.path.join(checkpoint_dir,
+                                       f"ivc_step_{step}.npz"),
+                          state, vm_ref, mem_ops_comm, self.params)
             if on_step:
                 on_step(step, state)
 
         try:
-            vm.run(intercept)
+            vm.run(intercept, start_cycle=start_cycle)
         except StopIteration:
             pass
         state.steps = steps[0]

@@ -92,3 +92,51 @@ def test_incremental_mem_tree():
     proof = tree.open(page_idx)
     assert zc.merkle_verify(tree.root, p2.hash_narrow(vm.page_words(page_idx)),
                             page_idx, proof)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import json
+    from latticeum_tpu.field import host as H
+    from latticeum_tpu.nifs.structs import LCCCS, Witness
+    from latticeum_tpu.vm.vm import VM
+    from latticeum_tpu.zkvm import checkpoint as ckpt
+    from latticeum_tpu.zkvm.prover import IVCState
+    from latticeum_tpu.zkvm.params import ZkVmParams
+
+    params = ZkVmParams(B=1024, L=2, B_SMALL=2, K=10, ccs_s=3)
+    vm = VM(words_per_page=8, page_count=16)
+    vm.instructions = {}
+    vm.write_mem(0x40, 0xDEAD)
+    vm.pc = 0x1234
+    vm.regs[5] = 99
+
+    import random
+    rng = random.Random(4)
+    ring = lambda: [rng.randrange(H.P) for _ in range(24)]
+    acc = LCCCS(r=[ring() for _ in range(3)], v=[ring() for _ in range(3)],
+                cm=[ring() for _ in range(2)], u=[ring() for _ in range(3)],
+                x_w=[ring()], h=ring())
+    from latticeum_tpu.field import goldilocks as gl
+    import numpy as np
+    w = gl.from_int(np.array([ring() for _ in range(4)], dtype=object))
+    wit = Witness.from_w_ccs(w, params.B, params.L)
+    state = IVCState(ivc_step_comm=([1, 2, 3, 4], [{"after_initial_mds": [0] * 16,
+                                                    "after_ext_init": [[0] * 16] * 4,
+                                                    "after_internal": [[0] * 16] * 22,
+                                                    "after_ext_term": [[0] * 16] * 4}] * 2),
+                     ivc_step=7, z_0_comm=[9, 8, 7, 6], z_i_comm=[5, 4, 3, 2],
+                     acc_comm=[1, 1, 2, 2], acc=acc, w_acc=wit,
+                     folding_proof=None, folding_proof_vars=None)
+    path = str(tmp_path / "ivc_step_7.npz")
+    ckpt.save(path, state, vm, [11, 12, 13, 14], params)
+
+    vm2 = VM(words_per_page=8, page_count=16)
+    vm2.instructions = {}
+    meta, acc2, wit2, step_comm = ckpt.load(path, vm2, params)
+    assert meta["step"] == 7 and vm2.pc == 0x1234 and vm2.regs[5] == 99
+    assert vm2.read_mem(0x40) == 0xDEAD
+    assert acc2 == acc
+    np.testing.assert_array_equal(np.asarray(gl.to_int(wit2.f)),
+                                  np.asarray(gl.to_int(wit.f)))
+    assert step_comm[0] == [1, 2, 3, 4]
+    assert ckpt.latest(str(tmp_path)) == path
