@@ -98,3 +98,30 @@ def test_two_step_folding_chain(inst):
         assert folded == folded_v
         acc, w_acc = folded, w0
     assert scheme.commit_host(w_acc.f) == acc.cm
+
+
+def test_proof_serialization_roundtrip(inst):
+    from latticeum_tpu.nifs import serialize as ser
+    ccs, cm_i, wit, scheme = inst
+    acc, w_acc = make_acc(ccs, scheme)
+    _, _, proof = nifs.prove(acc, w_acc, cm_i, wit, Transcript(), ccs,
+                             scheme, PARAMS)
+    blob = ser.serialize_proof(proof)
+    back = ser.deserialize_proof(blob)
+    assert back["linearization"]["u"] == [list(u) for u in
+                                         proof["linearization"]["u"]]
+    assert back["folding"]["theta_s"] == [[list(t) for t in ts]
+                                          for ts in proof["folding"]["theta_s"]]
+    assert back["decomposition_l"]["y_s"] == [[list(y) for y in ys]
+                                              for ys in proof["decomposition_l"]["y_s"]]
+    # re-verify from the deserialized proof
+    folded = nifs.verify(acc, cm_i, back, Transcript(), ccs, PARAMS)
+    assert folded is not None
+
+
+def test_security_check_reference_params():
+    from latticeum_tpu.utils.security import (
+        check_ring_modulus_128_bits_security, msis_l2_bound)
+    # production params: B=2^15, kappa=32, n=98815 (ccs.rs:26-50)
+    assert check_ring_modulus_128_bits_security(1 << 15, 32, 98815)
+    assert msis_l2_bound(32) > 0
