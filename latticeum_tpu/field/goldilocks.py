@@ -228,8 +228,7 @@ def reduce128(r0, r1, r2, r3):
 def mul(a, b):
     alo, ahi = a
     blo, bhi = b
-    from .. import backend as B
-    return B.barrier(reduce128(*_mul64_full(alo, ahi, blo, bhi)))
+    return reduce128(*_mul64_full(alo, ahi, blo, bhi))
 
 
 def mul_const(a, c: int):

@@ -236,3 +236,35 @@ def ones(batch_shape=()):
     lo = np.zeros(tuple(batch_shape) + (D,), dtype=np.uint32)
     lo[..., 0] = 1
     return (B.xp.asarray(lo), B.xp.zeros(tuple(batch_shape) + (D,), np.uint32))
+
+
+# -- transposed layout (..., 24, n): ring coords on axis -2 -----------------
+# TPU tiling pads the minor (lane) axis to 128; keeping the large hypercube
+# axis minor avoids a 5.3x memory blowup from the 24-wide ring axis.
+
+def _as_slots_t(x):
+    """(..., 24, n) -> Fq3 triple of (..., 8, n) arrays."""
+    lo = x[0].reshape(x[0].shape[:-2] + (N_SLOTS, 3) + x[0].shape[-1:])
+    hi = x[1].reshape(x[1].shape[:-2] + (N_SLOTS, 3) + x[1].shape[-1:])
+    return tuple((lo[..., i, :], hi[..., i, :]) for i in range(3))
+
+
+def _from_slots_t(c):
+    lo = B.xp.stack([ci[0] for ci in c], axis=-2).reshape(
+        c[0][0].shape[:-2] + (D,) + c[0][0].shape[-1:])
+    hi = B.xp.stack([ci[1] for ci in c], axis=-2).reshape(
+        c[0][1].shape[:-2] + (D,) + c[0][1].shape[-1:])
+    return (lo, hi)
+
+
+def ntt_mul_t(a, b):
+    """Slot-wise product in (..., 24, n) layout."""
+    return B.barrier(_from_slots_t(fq3.mul(_as_slots_t(a), _as_slots_t(b))))
+
+
+def ntt_scalar_mul_t(a, s3):
+    """(..., 24, n) times Fq3 scalar (components broadcastable scalars)."""
+    sa = _as_slots_t(a)
+    sb = tuple(((c[0][..., None, None]), (c[1][..., None, None]))
+               for c in s3)
+    return B.barrier(_from_slots_t(fq3.mul(sa, sb)))
