@@ -101,8 +101,11 @@ def sumcheck_round_t(cur, degree, comb_fn, consts):
     """One round in transposed+bit-reversed layout.
 
     cur: (k, 24, n).  v0 = first half (top bit 0), v1 = second half.
-    Evaluates the comb per point (bounded peak memory) and returns
-    (sums (deg+1, 24), v0, step).
+    Returns (sums (deg+1, 24), v0, step).
+
+    Under jax the deg+1 evaluation points run through ONE traced comb inside
+    a fori_loop (vals(t) = v0 + t*step) — the remote TPU compiler was
+    OOM-killed by deg+1 inlined copies of the 126-mle comb graph.
     """
     lo, hi = cur
     n = lo.shape[-1]
@@ -110,6 +113,24 @@ def sumcheck_round_t(cur, degree, comb_fn, consts):
     v0 = (lo[..., :half], hi[..., :half])
     v1 = (lo[..., half:], hi[..., half:])
     step = gl.sub(v1, v0)
+
+    if B.is_jax():
+        import jax
+        import jax.numpy as jnp
+
+        def body(t, sums):
+            tl = t.astype(jnp.uint32)
+            tz = jnp.zeros((), jnp.uint32)
+            vals = gl.add(v0, gl.mul(step, (tl, tz)))
+            e = comb_fn(vals, consts)
+            s = gl.sum_axis(e, axis=-1)
+            return (sums[0].at[t].set(s[0]), sums[1].at[t].set(s[1]))
+
+        init = (jnp.zeros((degree + 1, 24), jnp.uint32),
+                jnp.zeros((degree + 1, 24), jnp.uint32))
+        out = jax.lax.fori_loop(0, degree + 1, body, init)
+        return out, v0, step
+
     sums = []
     vals = v0
     e = comb_fn(v0, consts)
