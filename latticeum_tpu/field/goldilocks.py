@@ -44,6 +44,15 @@ def _u32(x):
 def from_int(values) -> tuple[B.xp.ndarray, B.xp.ndarray]:
     """Python ints / numpy array of objects -> (lo, hi) uint32 arrays."""
     arr = np.asarray(values, dtype=object)
+    try:
+        # fast path: all values already in [0, 2^64) — vectorized split.
+        # 2^64 < 2P, so one conditional subtraction canonicalizes.
+        w = arr.astype(np.uint64)
+        w = np.where(w >= np.uint64(P), w - np.uint64(P), w)
+        return (B.xp.asarray((w & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+                B.xp.asarray((w >> np.uint64(32)).astype(np.uint32)))
+    except (OverflowError, TypeError, ValueError):
+        pass
     flat = arr.reshape(-1)
     lo = np.empty(flat.shape, dtype=np.uint32)
     hi = np.empty(flat.shape, dtype=np.uint32)
@@ -55,16 +64,13 @@ def from_int(values) -> tuple[B.xp.ndarray, B.xp.ndarray]:
 
 
 def to_int(g) -> np.ndarray:
-    """(lo, hi) -> numpy object array of Python ints."""
+    """(lo, hi) -> numpy object array of Python ints (vectorized: combine in
+    uint64, then tolist() yields exact Python ints)."""
     lo, hi = g
     lo = np.asarray(lo, dtype=np.uint64)
     hi = np.asarray(hi, dtype=np.uint64)
-    out = np.empty(lo.shape, dtype=object)
-    it = np.nditer(lo, flags=["multi_index", "refs_ok"])
-    for _ in it:
-        idx = it.multi_index
-        out[idx] = int(lo[idx]) | (int(hi[idx]) << 32)
-    return out
+    combined = lo | (hi << np.uint64(32))
+    return np.array(combined.tolist(), dtype=object).reshape(lo.shape)
 
 
 def zeros(shape):

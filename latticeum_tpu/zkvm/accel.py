@@ -68,10 +68,11 @@ class DeviceEngine:
     def get(self, x):
         return tuple(np.asarray(a) for a in x)
 
-    def _jit(self, key, fn):
+    def _jit(self, key, fn, donate_argnums=()):
         if key not in self._jits:
             with B.jax_mode():
-                self._jits[key] = self.jax.jit(fn)
+                self._jits[key] = self.jax.jit(
+                    fn, donate_argnums=donate_argnums)
         return self._jits[key]
 
     # -- kernels ---------------------------------------------------------
@@ -100,12 +101,50 @@ class DeviceEngine:
             return jf(z_dev)
 
     def eq_table(self, point, max_rows):
-        """Device eq table from host Fq3 point list (built eagerly in numpy
-        then shipped — 24*max_rows u32, small)."""
-        from ..poly import mle as mle_mod
+        """Device eq table from host Fq3 point list.
+
+        The doubling runs ON DEVICE (one jit per (nv, max_rows)): numpy
+        doubling at 2^17 rows costs ~0.5 s per table and each fold needs
+        several tables.  Inputs are the stacked (nv, 2, 3) limbs of
+        (r_i, 1-r_i), so one compile serves every fold."""
+        from ..field import host as Hh
+        nv = len(point)
+        rows = 1 << nv
+        if max_rows is not None:
+            rows = min(rows, max_rows)
+
+        n_dbl = (rows - 1).bit_length() if rows > 1 else 0
+
+        def fn(rl, init):
+            cur = init                            # (1, 24)
+            for i in range(n_dbl):
+                r = tuple((rl[0][i, 0, c, None], rl[1][i, 0, c, None])
+                          for c in range(3))
+                omr = tuple((rl[0][i, 1, c, None], rl[1][i, 1, c, None])
+                            for c in range(3))
+                low = rq.ntt_scalar_mul(cur, omr)
+                high = rq.ntt_scalar_mul(cur, r)
+                cur = (B.xp.concatenate([low[0], high[0]]),
+                       B.xp.concatenate([low[1], high[1]]))
+            return cur
+
+        vals = np.empty((max(n_dbl, 1), 2, 3), dtype=object)
+        vals[:] = 0
+        for i, r in enumerate(point[:n_dbl]):
+            vals[i, 0] = list(r)
+            vals[i, 1] = list(Hh.fq3_sub((1, 0, 0), r))
+        # truncated table: the skipped (top) variables contribute a global
+        # prod(1 - r_j) factor to every surviving row — fold it into init
+        tail = (1, 0, 0)
+        for r in point[n_dbl:]:
+            tail = Hh.fq3_mul(tail, Hh.fq3_sub((1, 0, 0), r))
         with B.numpy_mode():
-            tab = mle_mod.build_eq_table(point, max_rows=max_rows)
-        return self.put(tab)
+            rl = gl.from_int(vals)
+            init = gl.from_int(np.array([Hh.ntt_from_fq3(tail)],
+                                        dtype=object))
+        jf = self._jit(("eqtab", nv, rows), fn)
+        with B.jax_mode():
+            return jf(self.put(rl), self.put(init))
 
     def eval_mles_at(self, mles_dev, eq_dev):
         """<mle_k, eq> for stacked mles (k, n, 24): one contraction."""

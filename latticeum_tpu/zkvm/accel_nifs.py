@@ -31,12 +31,17 @@ class DeviceWitness:
 
 
 class DeviceNifs:
-    def __init__(self, engine, ccs, params, ajtai_rows):
+    def __init__(self, engine, ccs, params, ajtai_rows, t_layout=False):
         """ajtai_rows: host (kappa, 24) ints — the row-constant Ajtai rows
-        (commitment_scheme.rs:29-33 structure)."""
+        (commitment_scheme.rs:29-33 structure).
+
+        t_layout=True routes both sum-checks through the transposed
+        bit-reversed kernels (accel_t) — the production-scale TPU memory
+        layout; bit-exact with the standard path."""
         self.e = engine
         self.ccs = ccs
         self.p = params
+        self.t_layout = t_layout
         with B.jax_mode():
             self.ajtai_rows = engine.put(gl.from_int(
                 np.array(ajtai_rows, dtype=object)))
@@ -48,6 +53,31 @@ class DeviceNifs:
                 np.array([list(c) for c in ccs.c], dtype=object))
         self._lin_consts_dev = engine.put(self._lin_consts)
         self._fold_comb = fold.make_comb_fn2(params.B_SMALL, params.K)
+        if t_layout:
+            from . import accel_t
+            self._accel_t = accel_t
+            self._lin_comb_t = accel_t.make_comb_lin_batched(
+                tuple(tuple(s) for s in ccs.S), ccs.t)
+            self._fold_comb_t = accel_t.make_comb_fold_batched(
+                params.B_SMALL, params.K)
+            accel_t.register_std_comb("lin", self._lin_comb)
+            accel_t.register_std_comb("fold", self._fold_comb)
+
+    def _sumcheck(self, transcript, g_dev, nv, degree, key, comb, comb_t,
+                  consts_dev, eq_info=None, log=None, already_t=False):
+        """Dispatch: standard-layout engine sum-check or transposed path."""
+        if not self.t_layout:
+            proof_sc, chals, final = self.e.sumcheck(
+                transcript, g_dev, nv, degree, key, comb, consts_dev,
+                log=log, eq_info=eq_info)
+            fl = (np.asarray(final[0]).reshape(-1, 24),
+                  np.asarray(final[1]).reshape(-1, 24))
+            return proof_sc, chals, fl
+        g_t = g_dev if already_t else self._accel_t.to_t_layout(self.e, g_dev)
+        del g_dev
+        return self._accel_t.run_sumcheck_fixed(
+            self.e, transcript, g_t, nv, degree, key, comb_t, consts_dev,
+            eq_info_rev=eq_info, log=log)
 
     # -- witness pipeline -------------------------------------------------
     def build_witness(self, w_dev):
@@ -113,12 +143,15 @@ class DeviceNifs:
         with B.jax_mode():
             g = (B.xp.concatenate([mz[0], eq_dev[0][None]]),
                  B.xp.concatenate([mz[1], eq_dev[1][None]]))
-        proof_sc, chals, _ = self.e.sumcheck(
+        proof_sc, chals, final = self._sumcheck(
             transcript, g, ccs.s, ccs.d + 1, "lin", self._lin_comb,
-            self._lin_consts_dev, log=log, eq_info=(beta_s, ccs.t))
+            getattr(self, "_lin_comb_t", None), self._lin_consts_dev,
+            eq_info=(beta_s, ccs.t), log=log)
         eq_r = self.e.eq_table(chals, None)
         v = self.e.eval_mles_at(wit.f_hat, eq_r)
-        u = self.e.eval_mles_at(mz, self.e.trunc(eq_r, self._cap_pow2))
+        # u_j = mle[M_j z](r) = the final folded sum-check values (rows 0..t)
+        u_ints = gl.to_int((final[0][:ccs.t], final[1][:ccs.t]))
+        u = [[int(x) for x in row] for row in u_ints]
         transcript.absorb_slice(v)
         transcript.absorb_slice(u)
         proof = {"sumcheck": proof_sc, "v": v, "u": u}
@@ -235,16 +268,33 @@ class DeviceNifs:
         alpha_s, beta_s, zeta_s, mu_s = fold.squeeze_alpha_beta_zeta_mu(
             transcript, log_m, K)
 
-        g = self._build_g(wit_s, z_s, cm_i_s, alpha_s, zeta_s, beta_s, K)
+        # stack f_hats once and free the per-witness copies (2.3 GB at
+        # production scale); the stack serves both the g build and the
+        # theta evaluation claims
+        with B.jax_mode():
+            fhats = (B.xp.stack([w.f_hat[0] for w in wit_s]),
+                     B.xp.stack([w.f_hat[1] for w in wit_s]))
+        for w in wit_s:
+            w.f_hat = None
+            w.f_coeff = None
+        g = self._build_g(fhats, z_s, cm_i_s, alpha_s, zeta_s, beta_s, K)
+        del fhats
         with B.numpy_mode():
             mu_c = fold.mu_consts(mu_s)
-        proof_sc, chals, _ = self.e.sumcheck(
+        proof_sc, chals, final = self._sumcheck(
             transcript, g, log_m, 2 * b_small, "fold", self._fold_comb,
-            self.e.put(mu_c), log=log)
+            getattr(self, "_fold_comb_t", None), self.e.put(mu_c), log=log,
+            already_t=self.t_layout)
+        del g
         r_0 = chals
 
-        eq_r0_full = self.e.eq_table(r_0, None)
-        theta_s = [self.e.eval_mles_at(w.f_hat, eq_r0_full) for w in wit_s]
+        # theta_s = mle[f_hat](r_0): rows 5.. of the sum-check's final
+        # folded values — no separate evaluation pass needed
+        del mu_c
+        th_ints = gl.to_int((final[0][5:], final[1][5:]))
+        theta_flat = [[int(x) for x in row] for row in th_ints]
+        theta_s = [theta_flat[i * TAU:(i + 1) * TAU]
+                   for i in range(2 * K)]
         eqT_r0 = self.eqT(r_0)
         eta_s = [self.eval_claims(eqT_r0, z) for z in z_s]
         for th in theta_s:
@@ -293,9 +343,57 @@ class DeviceNifs:
             f_coeff, w, f_hat = jf(f_dev)
         return DeviceWitness(w, f_coeff, f_dev, f_hat)
 
-    def _build_g(self, wit_s, z_s, cm_i_s, alpha_s, zeta_s, beta_s, K):
+    def _unified_coo(self):
+        """All t matrices concatenated into one COO with a matrix-id column
+        (built once): the challenged Mz over all j collapses to ONE gather +
+        ONE segment sum instead of t unrolled matvecs."""
+        if hasattr(self, "_ucoo"):
+            return self._ucoo
+        rows, cols, mats = [], [], []
+        svals_lo, svals_hi, rvals_lo, rvals_hi = [], [], [], []
+        all_scalar = all(M["scalar"] for M in self.e.M_dev)
+        for j, M in enumerate(self.e.M_dev):
+            nnz = int(np.asarray(M["rows"]).shape[0])
+            rows.append(np.asarray(M["rows"]))
+            cols.append(np.asarray(M["cols"]))
+            mats.append(np.full((nnz,), j, np.int32))
+            if all_scalar:
+                svals_lo.append(np.asarray(M["vals"][0]))
+                svals_hi.append(np.asarray(M["vals"][1]))
+            else:
+                vl, vh = np.asarray(M["vals"][0]), np.asarray(M["vals"][1])
+                if vl.ndim == 1:   # scalar matrix -> embed on coeff 0? no:
+                    # embedded-scalar ring value: slot pattern (c,0,0) x8
+                    full_l = np.zeros((nnz, 24), np.uint32)
+                    full_h = np.zeros((nnz, 24), np.uint32)
+                    full_l[:, 0::3] = vl[:, None]
+                    full_h[:, 0::3] = vh[:, None]
+                    vl, vh = full_l, full_h
+                rvals_lo.append(vl)
+                rvals_hi.append(vh)
+        with B.jax_mode():
+            self._ucoo = dict(
+                rows=B.xp.asarray(np.concatenate(rows)),
+                cols=B.xp.asarray(np.concatenate(cols)),
+                mats=B.xp.asarray(np.concatenate(mats)),
+                scalar=all_scalar,
+                vals=(B.xp.asarray(np.concatenate(
+                          svals_lo if all_scalar else rvals_lo)),
+                      B.xp.asarray(np.concatenate(
+                          svals_hi if all_scalar else rvals_hi))))
+        return self._ucoo
+
+    def _build_g(self, fhats, z_s, cm_i_s, alpha_s, zeta_s, beta_s, K):
         """g MLE stack on device (one jit): eq_r1, comb1, eq_r2, comb2,
-        eq_beta, fhat[0..2K][0..TAU]."""
+        eq_beta, fhat[0..2K][0..TAU].  fhats: stacked (2K, TAU, m, 24).
+
+        Batched formulation (the unrolled 125x30x2 scalar-mul graph is too
+        large for the TPU compiler): the alpha-Horner is one scalar-mul over
+        the (2K*TAU, m, 24) f_hat stack; the challenged Mz is combined z
+        (zeta-powers contracted over instances) pushed through the unified
+        COO in one segment sum per half.  Under t_layout the output is
+        emitted directly transposed + bit-reversed (fused into the jit, no
+        second full-size buffer)."""
         ccs = self.ccs
         m = ccs.m
         t = ccs.t
@@ -304,72 +402,77 @@ class DeviceNifs:
         eq_r1 = self.e.eq_table(r1, None)
         eq_r2 = self.e.eq_table(r2, None)
         eq_b = self.e.eq_table(beta_s, None)
+        ucoo = self._unified_coo()
 
         with B.numpy_mode():
-            alpha_c = fold.mu_consts(alpha_s)   # (2K, 3) limbs
+            # alpha powers alpha_i^{d+1}, k-major (matches fhat stack order)
+            apows = []
+            for a in alpha_s:
+                p = (1, 0, 0)
+                for _d in range(TAU):
+                    p = H.fq3_mul(p, a)
+                    apows.append(list(p))
+            alpha_c = gl.from_int(np.array(apows, dtype=object))  # (2K*TAU,3)
             zeta_pows = np.empty((2 * K, t, 3), dtype=object)
             for i in range(2 * K):
-                pw = zeta_s[i]
                 for j in range(t):
                     zeta_pows[i, j] = list(H.fq3_pow(zeta_s[i], j + 1))
             zeta_c = gl.from_int(zeta_pows)      # (2K, t, 3) limbs
 
         def fn(fhats, zs, eq1, eq2, eqb, alpha, zeta):
             # fhats: (2K, TAU, m, 24); zs: (2K, n, 24)
-            parts_lo, parts_hi = [], []
+            flat = (fhats[0].reshape(2 * K * TAU, m, 24),
+                    fhats[1].reshape(2 * K * TAU, m, 24))
+            a3 = tuple((alpha[0][:, c, None], alpha[1][:, c, None])
+                       for c in range(3))                  # (2K*TAU, 1) each
+            ha = rq.ntt_scalar_mul(flat, a3)
+            ha = (ha[0].reshape(2 * K, TAU, m, 24),
+                  ha[1].reshape(2 * K, TAU, m, 24))
+            ha = gl.sum_axis(ha, axis=1)                   # (2K, m, 24)
 
             def half(lo_idx, hi_idx):
-                acc = gl.zeros((m, 24))
+                acc = gl.sum_axis((ha[0][lo_idx:hi_idx],
+                                   ha[1][lo_idx:hi_idx]), axis=0)
+                # combined z: comb[j] = sum_i zeta_i^{j+1} z_i  (t, n, 24)
+                comb = gl.zeros((t, ccs.n, 24))
                 for i in range(lo_idx, hi_idx):
-                    a_i = ((alpha[0][i, 0], alpha[1][i, 0]),
-                           (alpha[0][i, 1], alpha[1][i, 1]),
-                           (alpha[0][i, 2], alpha[1][i, 2]))
-                    h_acc = gl.zeros((m, 24))
-                    for d in range(TAU - 1, -1, -1):
-                        h_acc = rq.ntt_scalar_mul(
-                            gl.add(h_acc, (fhats[0][i, d], fhats[1][i, d])),
-                            a_i)
-                    acc = gl.add(acc, h_acc)
-                # challenged Mz via combined z
-                for j in range(t):
-                    comb = gl.zeros((ccs.n, 24))
-                    for i in range(lo_idx, hi_idx):
-                        zc = ((zeta[0][i, j, 0], zeta[1][i, j, 0]),
-                              (zeta[0][i, j, 1], zeta[1][i, j, 1]),
-                              (zeta[0][i, j, 2], zeta[1][i, j, 2]))
-                        comb = gl.add(comb, rq.ntt_scalar_mul(
-                            (zs[0][i], zs[1][i]), zc))
-                    M = self.e.M_dev[j]
-                    zg = (comb[0][M["cols"]], comb[1][M["cols"]])
-                    if M["vals"][0].ndim == 1:
-                        sv = (M["vals"][0][:, None], M["vals"][1][:, None])
-                        prod = gl.mul(sv, zg)
-                    else:
-                        prod = rq.ntt_mul(M["vals"], zg)
-                    s = B.segment_sum(
-                        B.xp.moveaxis(B.xp.stack(
-                            [prod[0] & gl.MASK16, prod[0] >> 16,
-                             prod[1] & gl.MASK16, prod[1] >> 16]), 0, -1),
-                        M["rows"], m)
-                    mzj = gl._combine_cols_small(B.xp.moveaxis(s, -1, 0))
-                    acc = gl.add(acc, mzj)
-                return acc
+                    zc = tuple((zeta[0][i, :, c, None],
+                                zeta[1][i, :, c, None])
+                               for c in range(3))          # (t, 1) each
+                    zi = (zs[0][i][None], zs[1][i][None])
+                    comb = gl.add(comb, rq.ntt_scalar_mul(zi, zc))
+                zg = (comb[0][ucoo["mats"], ucoo["cols"]],
+                      comb[1][ucoo["mats"], ucoo["cols"]])
+                if ucoo["scalar"]:
+                    sv = (ucoo["vals"][0][:, None], ucoo["vals"][1][:, None])
+                    prod = gl.mul(sv, zg)
+                else:
+                    prod = rq.ntt_mul(ucoo["vals"], zg)
+                s = B.segment_sum(
+                    B.xp.moveaxis(B.xp.stack(
+                        [prod[0] & gl.MASK16, prod[0] >> 16,
+                         prod[1] & gl.MASK16, prod[1] >> 16]), 0, -1),
+                    ucoo["rows"], m)
+                mz = gl._combine_cols_small(B.xp.moveaxis(s, -1, 0))
+                return gl.add(acc, mz)
 
             c1 = half(0, K)
             c2 = half(K, 2 * K)
-            parts = [eq1, c1, eq2, c2, eqb]
-            for i in range(2 * K):
-                for d in range(TAU):
-                    parts.append((fhats[0][i, d], fhats[1][i, d]))
-            return (B.xp.stack([x[0] for x in parts]),
-                    B.xp.stack([x[1] for x in parts]))
+            parts_lo = B.xp.concatenate(
+                [B.xp.stack([eq1[0], c1[0], eq2[0], c2[0], eqb[0]]), flat[0]])
+            parts_hi = B.xp.concatenate(
+                [B.xp.stack([eq1[1], c1[1], eq2[1], c2[1], eqb[1]]), flat[1]])
+            if self.t_layout:
+                from .accel_t import bitrev_indices
+                brev = B.xp.asarray(bitrev_indices(ccs.s))
+                return (B.xp.moveaxis(parts_lo, -2, -1)[..., brev],
+                        B.xp.moveaxis(parts_hi, -2, -1)[..., brev])
+            return parts_lo, parts_hi
 
         with B.jax_mode():
-            fhats = (B.xp.stack([w.f_hat[0] for w in wit_s]),
-                     B.xp.stack([w.f_hat[1] for w in wit_s]))
             zs = (B.xp.stack([z[0] for z in z_s]),
                   B.xp.stack([z[1] for z in z_s]))
-        jf = self.e._jit(("build_g",), fn)
+        jf = self.e._jit(("build_g", self.t_layout), fn)
         with B.jax_mode():
             return jf(fhats, zs, eq_r1, eq_r2, eq_b,
                       self.e.put(alpha_c), self.e.put(zeta_c))

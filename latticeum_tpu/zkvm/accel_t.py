@@ -67,6 +67,83 @@ def make_comb_lin_t(S):
     return comb
 
 
+def make_comb_lin_batched(S, t):
+    """Linearization comb as a handful of BATCHED tensor ops.
+
+    The unrolled per-multiset comb produces an HLO graph with ~50k ops that
+    the remote TPU compiler chews on for ~10 min (and OOMs at the fold
+    comb's size).  Since every matrix index appears in exactly one multiset
+    (builder invariant, asserted in tests), grouping multisets by size and
+    gathering turns the whole comb into one gather + (size-1) batched ring
+    muls per group — a graph of ~100 large ops.  Exact mod-p arithmetic, so
+    reassociation is bit-exact.
+    """
+    groups = {}
+    for i, S_i in enumerate(S):
+        groups.setdefault(len(S_i), []).append((i, list(S_i)))
+    group_list = [
+        (np.array([m[0] for m in members], np.int32),
+         np.array([m[1] for m in members], np.int32))
+        for size, members in sorted(groups.items())
+    ]
+
+    def comb(vals, consts):
+        lo, hi = vals
+        eq = (lo[t], hi[t])
+        total = None
+        for iidx, jidx in group_list:
+            glo, ghi = lo[jidx], hi[jidx]          # (g, size, 24, n)
+            prod = (glo[:, 0], ghi[:, 0])
+            for s in range(1, jidx.shape[1]):
+                prod = rq.ntt_mul_t(prod, (glo[:, s], ghi[:, s]))
+            ci = (consts[0][iidx][..., None], consts[1][iidx][..., None])
+            term = rq.ntt_mul_t(prod, ci)          # (g, 24, n)
+            part = gl.sum_axis(term, axis=0)
+            total = part if total is None else gl.add(total, part)
+        return rq.ntt_mul_t(total, eq)
+    return comb
+
+
+def make_comb_fold_batched(b_small, K, TAU=3):
+    """Folding comb batched over the 2K*TAU f_hat axis (one ring-mul chain
+    on a (2K*TAU, 24, n) tensor instead of 90 unrolled chains; the unrolled
+    version OOM-killed the TPU compile helper).  Same consts as the host
+    comb: (2K, 3) Fq3 components of mu; powers computed on device."""
+    from ..field import fq3
+
+    def comb(vals, consts):
+        lo, hi = vals
+        result = gl.add(rq.ntt_mul_t((lo[0], hi[0]), (lo[1], hi[1])),
+                        rq.ntt_mul_t((lo[2], hi[2]), (lo[3], hi[3])))
+        eq_b = (lo[4:5], hi[4:5])
+        f = (lo[5:], hi[5:])                       # (2K*TAU, 24, n)
+        f_sq = rq.ntt_mul_t(f, f)
+        ev = None
+        for b in range(1, b_small):
+            bb = gl.from_int(np.array(H.ntt_from_u64(b * b), dtype=object))
+            bbt = (B.xp.asarray(bb[0])[:, None], B.xp.asarray(bb[1])[:, None])
+            factor = gl.sub(f_sq, (B.xp.broadcast_to(bbt[0], f_sq[0].shape),
+                                   B.xp.broadcast_to(bbt[1], f_sq[1].shape)))
+            ev = factor if ev is None else rq.ntt_mul_t(ev, factor)
+        ev = f if ev is None else rq.ntt_mul_t(ev, f)
+        ev = rq.ntt_mul_t(ev, (B.xp.broadcast_to(eq_b[0], ev[0].shape),
+                               B.xp.broadcast_to(eq_b[1], ev[1].shape)))
+        # mu powers mu_k^{d+1}, laid out k-major to match the f_hat stack
+        mu1 = tuple((consts[0][:, c], consts[1][:, c]) for c in range(3))
+        pows, cur_p = [], mu1
+        for _d in range(TAU):
+            pows.append(cur_p)
+            if _d + 1 < TAU:
+                cur_p = fq3.mul(cur_p, mu1)
+        mu_pow = tuple(
+            (B.xp.stack([p[c][0] for p in pows], axis=1).reshape(-1),
+             B.xp.stack([p[c][1] for p in pows], axis=1).reshape(-1))
+            for c in range(3))
+        ev = rq.ntt_scalar_mul_t(ev, mu_pow)
+        return gl.add(result, gl.sum_axis(ev, axis=0))
+    return comb
+
+
 def make_comb_fold_t(b_small, K, TAU=3):
     def comb(vals, consts):
         lo, hi = vals
@@ -150,6 +227,28 @@ def fold_mles_t(v0, step, r_limbs):
     return gl.add(v0, rq.ntt_scalar_mul_t(step, r_limbs))
 
 
+def to_t_layout(engine, mles_dev, key=None):
+    """(k, n, 24) standard-layout stack -> (k, 24, n) bit-reversed.
+
+    Bit reversal over log2(n) bits of the (possibly lazily-truncated) array
+    is a pure permutation, so values computed in the standard layout remain
+    correct; one device gather + transpose.
+    """
+    n = int(mles_dev[0].shape[-2])
+    nbits = int(np.log2(n))
+    assert (1 << nbits) == n, "t-layout needs a power-of-two row count"
+    brev = B.xp.asarray(bitrev_indices(nbits))
+
+    def fn(m):
+        return (B.xp.moveaxis(m[0][..., brev, :], -2, -1),
+                B.xp.moveaxis(m[1][..., brev, :], -2, -1))
+
+    k = tuple(int(s) for s in mles_dev[0].shape)
+    jf = engine._jit(("to_t", k), fn)
+    with B.jax_mode():
+        return jf(mles_dev)
+
+
 def run_sumcheck_t(engine, transcript, mles_t, nv, degree, comb_key, comb_fn,
                    consts_dev, eq_info_rev=None, log=None):
     """Device sum-check in transposed bit-reversed layout; numpy tail.
@@ -219,6 +318,163 @@ def run_sumcheck_t(engine, transcript, mles_t, nv, degree, comb_key, comb_fn,
         proof.extend(tail_proof)
         chals.extend(tail_chals)
     return proof, chals
+
+
+def interleave_fold_t(v0, step, r_limbs):
+    """folded = v0 + r*step, re-spread into a full-size buffer.
+
+    Fixed-buffer invariant: the active array (size L) lives at stride n/L
+    positions of an n-buffer, zeros elsewhere.  Folding halves L; writing
+    the folded half-buffer back at even positions doubles the stride and
+    keeps the gaps exactly zero."""
+    folded = gl.add(v0, rq.ntt_scalar_mul_t(step, r_limbs))
+    z0 = B.xp.zeros_like(folded[0])
+    lo = B.xp.stack([folded[0], z0], axis=-1)
+    hi = B.xp.stack([folded[1], z0], axis=-1)
+    return (lo.reshape(folded[0].shape[:-1] + (-1,)),
+            hi.reshape(folded[1].shape[:-1] + (-1,)))
+
+
+def sumcheck_sums_t(cur, degree, comb_fn, consts):
+    """Round sums only (no v0/step outputs — the fold kernel recomputes the
+    split, keeping peak HBM at one buffer + transients)."""
+    lo, hi = cur
+    n = lo.shape[-1]
+    half = n // 2
+    v0 = (lo[..., :half], hi[..., :half])
+    v1 = (lo[..., half:], hi[..., half:])
+    step = gl.sub(v1, v0)
+
+    if B.is_jax():
+        import jax
+        import jax.numpy as jnp
+
+        def body(t, sums):
+            tl = t.astype(jnp.uint32)
+            tz = jnp.zeros((), jnp.uint32)
+            vals = gl.add(v0, gl.mul(step, (tl, tz)))
+            e = comb_fn(vals, consts)
+            s = gl.sum_axis(e, axis=-1)
+            return (sums[0].at[t].set(s[0]), sums[1].at[t].set(s[1]))
+
+        init = (jnp.zeros((degree + 1, 24), jnp.uint32),
+                jnp.zeros((degree + 1, 24), jnp.uint32))
+        return jax.lax.fori_loop(0, degree + 1, body, init)
+
+    sums = []
+    vals = v0
+    for t in range(degree + 1):
+        if t == 1:
+            vals = v1
+        elif t >= 2:
+            vals = gl.add(vals, step)
+        e = comb_fn(vals, consts)
+        sums.append(gl.sum_axis(e, axis=-1))
+    return (B.xp.stack([s[0] for s in sums]), B.xp.stack([s[1] for s in sums]))
+
+
+def fold_round_t(cur_lo, cur_hi, r_limbs):
+    """Fold the top variable at challenge r and re-interleave, in place
+    (donated buffers): (k, 24, n) -> (k, 24, n)."""
+    n = cur_lo.shape[-1]
+    half = n // 2
+    v0 = (cur_lo[..., :half], cur_hi[..., :half])
+    v1 = (cur_lo[..., half:], cur_hi[..., half:])
+    step = gl.sub(v1, v0)
+    return interleave_fold_t(v0, step, r_limbs)
+
+
+def run_sumcheck_fixed(engine, transcript, mles_t, nv, degree, comb_key,
+                       comb_fn, consts_dev, eq_info_rev=None, log=None):
+    """Device sum-check with a FIXED-SIZE buffer: one compile per comb.
+
+    Per-round recompilation (shapes halve every round) costs ~10 min per
+    round on the remote TPU compiler; instead every round runs the same
+    (k, 24, n) kernel.  The active array shrinks by striding inside the
+    zero-padded buffer; inactive positions are exactly zero and contribute
+    zero to the round sums because every comb term contains a zero MLE
+    factor (Mz/f_hat are zero there; eq-only products never occur).
+    Compute cost is n per round instead of n/2^i — bounded 2x of the total
+    shrinking-buffer work, invisible next to compile time.
+
+    mles_t: (k, 24, n) bit-reversed; transcript-identical to the host path.
+    """
+    import time
+    transcript.absorb_u64(nv)
+    transcript.absorb_u64(degree)
+    proof, chals = [], []
+    cur = mles_t
+    n = int(cur[0].shape[-1])
+    k = int(cur[0].shape[0])
+    active = n
+    rounds_done = 0
+
+    def sums_fn(c, consts):
+        return sumcheck_sums_t(c, degree, comb_fn, consts)
+
+    jf = engine._jit((comb_key, "fixed", k, n, degree), sums_fn)
+    # fold kernel donates the buffer: peak HBM stays ~one buffer + transients
+    ff = engine._jit(("fold_fixed", k, n), fold_round_t,
+                     donate_argnums=(0, 1))
+
+    while rounds_done < nv and active // 2 >= engine.tail:
+        t0 = time.time()
+        with B.jax_mode():
+            sums = jf(cur, consts_dev)
+        ints = gl.to_int(engine.get(sums))
+        msg = [[int(v) for v in row] for row in ints]
+        transcript.absorb_slice(msg)
+        proof.append(msg)
+        r = transcript.get_challenge()
+        transcript.absorb_fq3(r)
+        chals.append(r)
+        with B.numpy_mode():
+            r_limbs = mle_mod.fq3_const(r)
+        with B.jax_mode():
+            cur = ff(cur[0], cur[1], engine.put_small(r_limbs))
+        active //= 2
+        rounds_done += 1
+        if log:
+            log(f"dev round {rounds_done-1}: {time.time()-t0:.2f}s")
+
+    final = None
+    if rounds_done < nv:
+        cur_host = engine.get(cur)
+        stride = n // active
+        act = (cur_host[0][..., ::stride], cur_host[1][..., ::stride])
+        tail_proof, tail_chals, final = _host_tail_from_t(
+            engine, transcript, act, nv, rounds_done, degree, comb_key,
+            consts_dev, eq_info_rev, chals)
+        proof.extend(tail_proof)
+        chals.extend(tail_chals)
+    else:
+        # fully folded on device: final MLE values sit at buffer position 0
+        cur_host = engine.get(cur)
+        final = (cur_host[0][..., 0], cur_host[1][..., 0])
+    # final: (k, 24) == each MLE evaluated at the challenge point (gives
+    # the theta/evaluation claims for free)
+    final = (np.asarray(final[0]).reshape(-1, 24),
+             np.asarray(final[1]).reshape(-1, 24))
+    return proof, chals, final
+
+
+def _host_tail_from_t(engine, transcript, cur_host, nv, rounds_done, degree,
+                      comb_key, consts_dev, eq_info_rev, chals):
+    """Un-bit-reverse + transpose a (k, 24, L) t-layout array and finish the
+    remaining rounds with the standard-layout numpy tail."""
+    n = cur_host[0].shape[-1]
+    brev = bitrev_indices(int(np.log2(n))) if n > 1 else np.array([0])
+    lo = np.moveaxis(np.asarray(cur_host[0]), 1, 2)[:, brev, :]
+    hi = np.moveaxis(np.asarray(cur_host[1]), 1, 2)[:, brev, :]
+    consts_host = engine.jax.tree_util.tree_map(np.asarray, consts_dev)
+    from .accel import _numpy_tail
+    std_comb = _STD_COMBS[comb_key]
+    with B.numpy_mode():
+        tail_proof, tail_chals, final = _numpy_tail(
+            transcript, (lo, hi), nv, rounds_done, degree,
+            lambda vals: std_comb(vals, consts_host),
+            eq_info=eq_info_rev, prior_chals=chals)
+    return tail_proof, tail_chals, final
 
 
 _STD_COMBS = {}

@@ -28,6 +28,11 @@ def main(argv=None):
                     help="check CCS relation + verify every fold")
     ap.add_argument("--vm-size", choices=["1mb", "4mb", "8mb"], default="8mb")
     ap.add_argument("--backend", choices=["numpy", "jax"], default="numpy")
+    ap.add_argument("--device", action="store_true",
+                    help="run the fold hot path on the TPU (device-resident "
+                         "NIFS, transposed-layout sum-check kernels)")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--resume", action="store_true")
     args = ap.parse_args(argv)
 
     from .. import backend as B
@@ -51,14 +56,16 @@ def main(argv=None):
         ap.error("one of --guest / --builtin is required")
 
     print("building CCS + prover ...", flush=True)
-    prover = ZkVmProver(debug=args.debug)
+    prover = ZkVmProver(debug=args.debug, device=args.device)
     t0 = time.time()
 
     def on_step(step, state):
         dt = prover.timings["step_times"][-1]
         print(f"step {step}: {dt:.1f}s", flush=True)
 
-    state = prover.prove_vm(vm, max_steps=args.max_steps, on_step=on_step)
+    state = prover.prove_vm(vm, max_steps=args.max_steps, on_step=on_step,
+                            checkpoint_dir=args.checkpoint_dir,
+                            resume=args.resume)
     total = time.time() - t0
     print(json.dumps({
         "steps_folded": state.steps,

@@ -90,7 +90,15 @@ class IVCState:
 
 
 class ZkVmProver:
-    def __init__(self, params=None, scheme_seed: int = 0, debug: bool = False):
+    def __init__(self, params=None, scheme_seed: int = 0, debug: bool = False,
+                 device: bool = False, t_layout: bool = True,
+                 tail_threshold: int = 512, log=None):
+        """device=True routes the fold hot path (witness pipeline, Ajtai,
+        both sum-checks, evaluation claims) through jitted TPU kernels
+        (accel.DeviceEngine + accel_nifs.DeviceNifs); t_layout selects the
+        transposed bit-reversed memory layout needed at production scale.
+        The transcript and all proof messages are bit-identical either way.
+        """
         self.params = params or default_params()
         self.layout = CCSLayout(self.params)
         self.ccs = create_riscv_ccs(self.layout)
@@ -103,14 +111,35 @@ class ZkVmProver:
         self.committer = ZkVmCommitter()
         self.debug = debug
         self.timings = {}
+        self.log = log
+        self.device = device
+        self.dn = None
+        if device:
+            from .accel import DeviceEngine
+            from .accel_nifs import DeviceNifs
+            engine = DeviceEngine(self.ccs, self.params,
+                                  tail_threshold=tail_threshold)
+            rows_host = [[int(v) for v in r]
+                         for r in gl.to_int(
+                             (np.asarray(self.scheme.rows_limbs[0]),
+                              np.asarray(self.scheme.rows_limbs[1])))]
+            self.dn = DeviceNifs(engine, self.ccs, self.params, rows_host,
+                                 t_layout=t_layout)
 
     # -- pieces ----------------------------------------------------------
     def initialize_accumulator(self, initial_step_comm=ZERO_COMM):
         """(main.rs:305-344): zero witness -> linearization -> initial acc."""
+        x_ccs = [H.ntt_from_u64(int(v)) for v in initial_step_comm]
+        if self.dn is not None:
+            w = np.zeros((self.layout.w_size, 24), np.uint32)
+            wit = self.dn.build_witness(self.dn.e.put((w, w)))
+            cm_i = CCCS(cm=self.dn.commit(wit.f), x_ccs=x_ccs)
+            acc, _, _ = self.dn.lin_prove(cm_i, wit, Transcript(),
+                                          log=self.log)
+            return acc, wit
         w = gl.zeros((self.layout.w_size, 24))
         wit = Witness.from_w_ccs(w, self.params.B, self.params.L)
         cm = self.scheme.commit_host(wit.f)
-        x_ccs = [H.ntt_from_u64(int(v)) for v in initial_step_comm]
         cm_i = CCCS(cm=cm, x_ccs=x_ccs)
         acc, _, _ = lin.prove(cm_i, wit, Transcript(), self.ccs)
         return acc, wit
@@ -120,14 +149,19 @@ class ZkVmProver:
         lcfg = self.layout
         x_ccs = z_rings[:self.ccs.l]
         w_host = z_rings[self.ccs.l + 1:]
-        w_dev = gl.from_int(np.array(w_host, dtype=object))
-        wit = Witness.from_w_ccs(w_dev, self.params.B, self.params.L)
+        w_limbs = gl.from_int(np.array(w_host, dtype=object))
+        if self.dn is not None:
+            wit = self.dn.build_witness(self.dn.e.put(w_limbs))
+            return CCCS(cm=self.dn.commit(wit.f), x_ccs=x_ccs), wit
+        wit = Witness.from_w_ccs(w_limbs, self.params.B, self.params.L)
         cm = self.scheme.commit_host(wit.f)
         return CCCS(cm=cm, x_ccs=x_ccs), wit
 
     def fold(self, acc, w_acc, cm_i, w_i):
         """Fresh transcript per fold (main.rs:379-404)."""
         t = Transcript()
+        if self.dn is not None:
+            return self.dn.prove(acc, w_acc, cm_i, w_i, t, log=self.log)
         return nifs_mod.prove(acc, w_acc, cm_i, w_i, t, self.ccs,
                               self.scheme, self.dp)
 
@@ -175,6 +209,10 @@ class ZkVmProver:
                              folding_proof=None, folding_proof_vars=None)
         else:
             meta, acc_r, w_acc_r, step_comm_r = resumed
+            if self.dn is not None:
+                w_acc_r = self.dn.witness_from_f_coeff(
+                    self.dn.e.put((np.asarray(w_acc_r.f_coeff[0]),
+                                   np.asarray(w_acc_r.f_coeff[1]))))
             mem_comm = mem_tree.root
             mem_ops_comm = list(meta["mem_ops_comm"])
             state = IVCState(ivc_step_comm=step_comm_r,
@@ -263,13 +301,44 @@ class ZkVmProver:
                          + list(regs_c) + list(mem_ops_comm))
 
     def _check_relation(self, z_rings, trace):
-        z_dev = gl.from_int(np.array(z_rings, dtype=object))
-        mz = self.ccs.matvecs(z_dev)
-        res = self.ccs.relation_residual(mz)
-        lo = np.asarray(res[0])
-        hi = np.asarray(res[1])
+        if self.dn is not None:
+            lo, hi = self._relation_residual_device(z_rings)
+        else:
+            z_dev = gl.from_int(np.array(z_rings, dtype=object))
+            mz = self.ccs.matvecs(z_dev)
+            res = self.ccs.relation_residual(mz)
+            lo = np.asarray(res[0])
+            hi = np.asarray(res[1])
         bad = np.nonzero((lo != 0).any(axis=-1) | (hi != 0).any(axis=-1))[0]
         if len(bad):
             raise AssertionError(
                 f"CCS relation failed for {trace.instruction.name} at rows "
                 f"{bad[:10].tolist()}")
+
+    def _relation_residual_device(self, z_rings):
+        """Residual on device: Mz matvecs + the batched lin comb with a
+        ONES ring in the eq slot (so the final eq multiply is identity)."""
+        from .accel_t import make_comb_lin_batched
+        dn, e, ccs = self.dn, self.dn.e, self.ccs
+        if not hasattr(self, "_relcomb"):
+            self._relcomb = make_comb_lin_batched(
+                tuple(tuple(s) for s in ccs.S), ccs.t)
+        z_dev = e.put(gl.from_int(np.array(z_rings, dtype=object)))
+        mz = e.matvecs(z_dev, dn._cap_pow2)
+
+        def fn(mz_, consts):
+            t_, rows = mz_[0].shape[0], mz_[0].shape[1]
+            one = np.zeros((1, 24, 1), np.uint32)
+            one[:, 0::3] = 1
+            mt = (B.xp.moveaxis(mz_[0], -1, -2), B.xp.moveaxis(mz_[1], -1, -2))
+            g = (B.xp.concatenate(
+                    [mt[0], B.xp.broadcast_to(B.xp.asarray(one),
+                                              (1, 24, rows))]),
+                 B.xp.concatenate(
+                    [mt[1], B.xp.zeros((1, 24, rows), np.uint32)]))
+            return self._relcomb(g, consts)
+
+        jf = e._jit(("relcheck", dn._cap_pow2), fn)
+        with B.jax_mode():
+            res = jf(mz, dn._lin_consts_dev)
+        return np.asarray(res[0]).T, np.asarray(res[1]).T

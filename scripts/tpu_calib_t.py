@@ -1,5 +1,6 @@
-"""TPU calibration: production-scale sum-check rounds in the transposed
-bit-reversed layout. Measures compile time + steady-state per round."""
+"""TPU calibration: production-scale sum-check rounds with the BATCHED combs
+and the fixed-buffer kernel (one compile per comb, reused every round).
+Measures compile time + steady-state per round for both sum-checks."""
 
 import faulthandler
 import signal
@@ -20,7 +21,6 @@ def log(m):
 
 from latticeum_tpu import backend as B
 from latticeum_tpu.field import goldilocks as gl
-from latticeum_tpu.nifs.linearization import make_comb_fn2
 from latticeum_tpu.zkvm import accel_t
 from latticeum_tpu.zkvm.accel import DeviceEngine
 from latticeum_tpu.zkvm.builder import create_riscv_ccs
@@ -35,44 +35,62 @@ def sync(engine, x):
 def main():
     p = default_params()
     ccs = create_riscv_ccs(CCSLayout(p))
-    log("ccs built")
+    cap = max(M.max_row for M in ccs.M) + 1
+    cap_pow2 = min(1 << (cap - 1).bit_length(), ccs.m)
+    log(f"ccs built; max_row+1={cap} cap_pow2={cap_pow2} m={ccs.m}")
     eng = DeviceEngine(ccs, p, tail_threshold=1024)
     log("engine ready")
 
-    comb_t = accel_t.make_comb_lin_t(tuple(tuple(s) for s in ccs.S))
+    comb_t = accel_t.make_comb_lin_batched(
+        tuple(tuple(s) for s in ccs.S), ccs.t)
     with B.numpy_mode():
         consts = gl.from_int(np.array([list(c) for c in ccs.c],
                                       dtype=object))
     consts_dev = eng.put(consts)
 
-    cap = 1 << 14
     rng = np.random.default_rng(0)
-    g_lo = rng.integers(0, 1 << 32, size=(ccs.t + 1, 24, cap),
+    g_lo = rng.integers(0, 1 << 32, size=(ccs.t + 1, 24, cap_pow2),
                         dtype=np.uint32)
-    g_hi = rng.integers(0, 0xFFFFFFFE, size=(ccs.t + 1, 24, cap),
+    g_hi = rng.integers(0, 0xFFFFFFFE, size=(ccs.t + 1, 24, cap_pow2),
                         dtype=np.uint32)
     g = eng.put((g_lo, g_hi))
-    log(f"lin g uploaded ({g_lo.nbytes*2/1e6:.0f} MB)")
+    log(f"lin g uploaded ({g_lo.nbytes*2/1e9:.1f} GB)")
 
     def round_fn(c, consts):
         return accel_t.sumcheck_round_t(c, ccs.d + 1, comb_t, consts)
 
-    jf = eng._jit(("lin_t", ccs.t + 1, cap), round_fn)
+    jf = eng._jit(("lin_cal", ccs.t + 1, cap_pow2), round_fn)
     with B.jax_mode():
         out = jf(g, consts_dev)
     sync(eng, out[0])
-    log("lin round0 COMPILED+ran")
+    log("lin round COMPILED+ran")
     t1 = time.time()
     with B.jax_mode():
         out = jf(g, consts_dev)
     sync(eng, out[0])
-    log(f"lin round0 steady: {time.time()-t1:.3f}s")
+    log(f"lin round steady: {time.time()-t1:.3f}s")
 
-    # folding round at full m
+    # interleave-fold kernel
+    ff = eng._jit(("foldk_cal", ccs.t + 1, cap_pow2),
+                  accel_t.interleave_fold_t)
+    with B.numpy_mode():
+        from latticeum_tpu.poly import mle as mle_mod
+        r_limbs = mle_mod.fq3_const((3, 5, 7))
+    with B.jax_mode():
+        nxt = ff(out[1], out[2], eng.put_small(r_limbs))
+    sync(eng, nxt)
+    log("interleave-fold COMPILED+ran")
+    t1 = time.time()
+    with B.jax_mode():
+        nxt = ff(out[1], out[2], eng.put_small(r_limbs))
+    sync(eng, nxt)
+    log(f"interleave-fold steady: {time.time()-t1:.3f}s")
+
+    # folding sum-check round at full m
     K = p.K
     nmles = 5 + 2 * K * 3
     m = ccs.m
-    comb_f = accel_t.make_comb_fold_t(p.B_SMALL, K)
+    comb_f = accel_t.make_comb_fold_batched(p.B_SMALL, K)
     with B.numpy_mode():
         from latticeum_tpu.nifs import folding as fold
         mu = [(i + 2, i + 3, i + 4) for i in range(2 * K)]
@@ -86,16 +104,16 @@ def main():
     def fround(c, consts):
         return accel_t.sumcheck_round_t(c, 2 * p.B_SMALL, comb_f, consts)
 
-    jf2 = eng._jit(("fold_t", nmles, m), fround)
+    jf2 = eng._jit(("fold_cal", nmles, m), fround)
     with B.jax_mode():
         out = jf2(gf, mu_dev)
     sync(eng, out[0])
-    log("fold round0 COMPILED+ran")
+    log("fold round COMPILED+ran")
     t1 = time.time()
     with B.jax_mode():
         out = jf2(gf, mu_dev)
     sync(eng, out[0])
-    log(f"fold round0 steady: {time.time()-t1:.3f}s")
+    log(f"fold round steady: {time.time()-t1:.3f}s")
 
 
 if __name__ == "__main__":

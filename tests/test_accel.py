@@ -37,27 +37,33 @@ def setup():
     return ccs, cm_i, wit, scheme, acc, acc_wit
 
 
-def _device_engine(ccs):
+def _device_engine(ccs, tail=2):
     import jax
     jax.config.update("jax_platforms", "cpu")
     from latticeum_tpu.zkvm.accel import DeviceEngine
-    return DeviceEngine(ccs, PARAMS, tail_threshold=2)
+    return DeviceEngine(ccs, PARAMS, tail_threshold=tail)
 
 
-def test_device_nifs_matches_host(setup):
+@pytest.mark.parametrize("t_layout", [False, True],
+                         ids=["standard", "transposed"])
+def test_device_nifs_matches_host(setup, t_layout):
     ccs, cm_i, wit, scheme, acc, acc_wit = setup
     # host reference run
     t_host = Transcript()
     folded_h, w0_h, proof_h = nifs.prove(acc, acc_wit, cm_i, wit, t_host,
                                          ccs, scheme, PARAMS)
 
-    # device run
+    # device run (t_layout=True additionally covers the truncated-cap
+    # bit-reversed path: this fixture has cap=4 < m=16).  The legacy
+    # standard-layout path compiles one kernel per round SHAPE — keep its
+    # device rounds off (tail=64 -> numpy tail) to bound CPU compile time;
+    # the production transposed path gets full device-round coverage.
     from latticeum_tpu.zkvm.accel_nifs import DeviceNifs
-    engine = _device_engine(ccs)
+    engine = _device_engine(ccs, tail=2 if t_layout else 64)
     rows_host = [[int(v) for v in r]
                  for r in gl.to_int((np.asarray(scheme.matrix[0][:, 0, :]),
                                      np.asarray(scheme.matrix[1][:, 0, :])))]
-    dn = DeviceNifs(engine, ccs, PARAMS, rows_host)
+    dn = DeviceNifs(engine, ccs, PARAMS, rows_host, t_layout=t_layout)
     w_i_dev = dn.build_witness(engine.put(wit.w_ccs))
     w_acc_dev = dn.build_witness(engine.put(acc_wit.w_ccs))
     t_dev = Transcript()
@@ -65,7 +71,10 @@ def test_device_nifs_matches_host(setup):
 
     assert t_host.ch.state == t_dev.ch.state
     assert folded_h == folded_d
+    assert proof_h["linearization"]["sumcheck"] == \
+        proof_d["linearization"]["sumcheck"]
     assert proof_h["linearization"]["u"] == proof_d["linearization"]["u"]
+    assert proof_h["folding"]["sumcheck"] == proof_d["folding"]["sumcheck"]
     assert proof_h["folding"]["theta_s"] == proof_d["folding"]["theta_s"]
     assert proof_h["folding"]["eta_s"] == proof_d["folding"]["eta_s"]
     np.testing.assert_array_equal(np.asarray(gl.to_int(w0_h.f)),
