@@ -472,7 +472,10 @@ class DeviceNifs:
         with B.jax_mode():
             zs = (B.xp.stack([z[0] for z in z_s]),
                   B.xp.stack([z[1] for z in z_s]))
-        jf = self.e._jit(("build_g", self.t_layout), fn)
+        # fhats (2.3 GB at production scale) are dead after this call
+        # (thetas come from the sum-check's final values) — donate them
+        jf = self.e._jit(("build_g", self.t_layout), fn,
+                         donate_argnums=(0,))
         with B.jax_mode():
             return jf(fhats, zs, eq_r1, eq_r2, eq_b,
                       self.e.put(alpha_c), self.e.put(zeta_c))

@@ -335,32 +335,56 @@ def interleave_fold_t(v0, step, r_limbs):
             hi.reshape(folded[1].shape[:-1] + (-1,)))
 
 
-def sumcheck_sums_t(cur, degree, comb_fn, consts):
+def sumcheck_sums_t(cur, degree, comb_fn, consts, chunks=1):
     """Round sums only (no v0/step outputs — the fold kernel recomputes the
-    split, keeping peak HBM at one buffer + transients)."""
+    split, keeping peak HBM at one buffer + transients).
+
+    chunks > 1 tiles the half-buffer along the minor axis inside the traced
+    fori (dynamic slices), bounding comb transients to half/chunks columns —
+    at production scale the un-chunked per-point transients (~4 GB) OOM'd
+    the chip on top of the 2.4 GB buffer.  Still ONE comb instance in the
+    graph (point and chunk share a flattened fori)."""
     lo, hi = cur
     n = lo.shape[-1]
     half = n // 2
-    v0 = (lo[..., :half], hi[..., :half])
-    v1 = (lo[..., half:], hi[..., half:])
-    step = gl.sub(v1, v0)
+    assert half % chunks == 0 or chunks == 1
+    cs = half // chunks
 
     if B.is_jax():
         import jax
         import jax.numpy as jnp
 
-        def body(t, sums):
+        def body(i, sums):
+            t = i // chunks
+            j = i % chunks
             tl = t.astype(jnp.uint32)
             tz = jnp.zeros((), jnp.uint32)
-            vals = gl.add(v0, gl.mul(step, (tl, tz)))
+            k24 = lo.shape[:-1]
+            v0c = (jax.lax.dynamic_slice(lo, (0,) * (lo.ndim - 1) + (j * cs,),
+                                         k24 + (cs,)),
+                   jax.lax.dynamic_slice(hi, (0,) * (hi.ndim - 1) + (j * cs,),
+                                         k24 + (cs,)))
+            v1c = (jax.lax.dynamic_slice(
+                       lo, (0,) * (lo.ndim - 1) + (half + j * cs,),
+                       k24 + (cs,)),
+                   jax.lax.dynamic_slice(
+                       hi, (0,) * (hi.ndim - 1) + (half + j * cs,),
+                       k24 + (cs,)))
+            stepc = gl.sub(v1c, v0c)
+            vals = gl.add(v0c, gl.mul(stepc, (tl, tz)))
             e = comb_fn(vals, consts)
             s = gl.sum_axis(e, axis=-1)
-            return (sums[0].at[t].set(s[0]), sums[1].at[t].set(s[1]))
+            prev = (sums[0][t], sums[1][t])
+            acc = gl.add(prev, s)
+            return (sums[0].at[t].set(acc[0]), sums[1].at[t].set(acc[1]))
 
         init = (jnp.zeros((degree + 1, 24), jnp.uint32),
                 jnp.zeros((degree + 1, 24), jnp.uint32))
-        return jax.lax.fori_loop(0, degree + 1, body, init)
+        return jax.lax.fori_loop(0, (degree + 1) * chunks, body, init)
 
+    v0 = (lo[..., :half], hi[..., :half])
+    v1 = (lo[..., half:], hi[..., half:])
+    step = gl.sub(v1, v0)
     sums = []
     vals = v0
     for t in range(degree + 1):
@@ -409,8 +433,15 @@ def run_sumcheck_fixed(engine, transcript, mles_t, nv, degree, comb_key,
     active = n
     rounds_done = 0
 
+    # chunk the per-point comb transients to ~<=400 MB (OOM headroom)
+    chunk_budget = getattr(engine, "sum_chunk_bytes", 400 << 20)
+    bytes_half = k * 24 * (n // 2) * 8
+    chunks = 1
+    while bytes_half // chunks > chunk_budget and (n // 2) % (chunks * 2) == 0:
+        chunks *= 2
+
     def sums_fn(c, consts):
-        return sumcheck_sums_t(c, degree, comb_fn, consts)
+        return sumcheck_sums_t(c, degree, comb_fn, consts, chunks=chunks)
 
     jf = engine._jit((comb_key, "fixed", k, n, degree), sums_fn)
     # fold kernel donates the buffer: peak HBM stays ~one buffer + transients

@@ -60,6 +60,8 @@ def test_device_nifs_matches_host(setup, t_layout):
     # the production transposed path gets full device-round coverage.
     from latticeum_tpu.zkvm.accel_nifs import DeviceNifs
     engine = _device_engine(ccs, tail=2 if t_layout else 64)
+    if t_layout:
+        engine.sum_chunk_bytes = 64   # force the chunked sums path
     rows_host = [[int(v) for v in r]
                  for r in gl.to_int((np.asarray(scheme.matrix[0][:, 0, :]),
                                      np.asarray(scheme.matrix[1][:, 0, :])))]
