@@ -65,15 +65,23 @@ class DeviceNifs:
 
     def _sumcheck(self, transcript, g_dev, nv, degree, key, comb, comb_t,
                   consts_dev, eq_info=None, log=None, already_t=False):
-        """Dispatch: standard-layout engine sum-check or transposed path."""
+        """Dispatch: standard-layout engine sum-check or transposed path.
+
+        g_dev: single (lo, hi) stack or a list of part stacks (fold path)."""
+        is_parts = not hasattr(g_dev[0], "shape")
         if not self.t_layout:
+            if is_parts:
+                with B.jax_mode():
+                    g_dev = (B.xp.concatenate([p[0] for p in g_dev]),
+                             B.xp.concatenate([p[1] for p in g_dev]))
             proof_sc, chals, final = self.e.sumcheck(
                 transcript, g_dev, nv, degree, key, comb, consts_dev,
                 log=log, eq_info=eq_info)
             fl = (np.asarray(final[0]).reshape(-1, 24),
                   np.asarray(final[1]).reshape(-1, 24))
             return proof_sc, chals, fl
-        g_t = g_dev if already_t else self._accel_t.to_t_layout(self.e, g_dev)
+        g_t = g_dev if (already_t or is_parts) \
+            else self._accel_t.to_t_layout(self.e, g_dev)
         del g_dev
         return self._accel_t.run_sumcheck_fixed(
             self.e, transcript, g_t, nv, degree, key, comb_t, consts_dev,
@@ -138,15 +146,23 @@ class DeviceNifs:
         with B.jax_mode():
             z_dev = (B.xp.concatenate([self.e.put(head)[0], wit.w_ccs[0]]),
                      B.xp.concatenate([self.e.put(head)[1], wit.w_ccs[1]]))
-        mz = self.e.matvecs(z_dev, self._cap_pow2)
-        eq_dev = self.e.eq_table(beta_s, self._cap_pow2)
-        with B.jax_mode():
-            g = (B.xp.concatenate([mz[0], eq_dev[0][None]]),
-                 B.xp.concatenate([mz[1], eq_dev[1][None]]))
+        if self.t_layout:
+            # g emitted directly transposed + bit-reversed inside one jit:
+            # avoids the (t+1, m, 24) standard-layout stack AND its
+            # to_t_layout copy (2x ~3 GB at production scale)
+            g = self.lin_g_t(z_dev, beta_s)
+        else:
+            mz = self.e.matvecs(z_dev, self._cap_pow2)
+            eq_dev = self.e.eq_table(beta_s, self._cap_pow2)
+            with B.jax_mode():
+                g = (B.xp.concatenate([mz[0], eq_dev[0][None]]),
+                     B.xp.concatenate([mz[1], eq_dev[1][None]]))
+            del mz, eq_dev
         proof_sc, chals, final = self._sumcheck(
             transcript, g, ccs.s, ccs.d + 1, "lin", self._lin_comb,
             getattr(self, "_lin_comb_t", None), self._lin_consts_dev,
-            eq_info=(beta_s, ccs.t), log=log)
+            eq_info=(beta_s, ccs.t), log=log, already_t=self.t_layout)
+        del g
         eq_r = self.e.eq_table(chals, None)
         v = self.e.eval_mles_at(wit.f_hat, eq_r)
         # u_j = mle[M_j z](r) = the final folded sum-check values (rows 0..t)
@@ -160,6 +176,51 @@ class DeviceNifs:
                       x_w=[list(x) for x in cm_i.x_ccs],
                       h=H.ntt_from_u64(1))
         return lcccs, proof, z_dev
+
+    def lin_g_t(self, z_dev, beta_s):
+        """Linearization g stack emitted directly in the transposed
+        bit-reversed layout: (t+1, 24, m') with m' = cap rounded to pow2.
+
+        Each M_j z segment-sums straight into bit-reversed row positions
+        (row indices pre-permuted on host), so no full-size standard-layout
+        intermediate ever exists."""
+        from .accel_t import bitrev_indices
+        m = self._cap_pow2
+        eq_dev = self.e.eq_table(beta_s, m)
+        brev = bitrev_indices(int(np.log2(m)) if m > 1 else 0)
+        if not hasattr(self, "_brev_rows"):
+            with B.jax_mode():
+                self._brev_rows = [
+                    B.xp.asarray(brev[np.asarray(M["rows"])])
+                    for M in self.e.M_dev]
+                self._brev_idx = B.xp.asarray(brev)
+
+        def fn(z, e):
+            outs = []
+            for M, br in zip(self.e.M_dev, self._brev_rows):
+                zg = (z[0][M["cols"]], z[1][M["cols"]])
+                if M["vals"][0].ndim == 1:
+                    sv = (M["vals"][0][:, None], M["vals"][1][:, None])
+                    prod = gl.mul(sv, zg)
+                else:
+                    prod = rq.ntt_mul(M["vals"], zg)
+                s = B.segment_sum(
+                    B.xp.moveaxis(B.xp.stack(
+                        [prod[0] & gl.MASK16, prod[0] >> 16,
+                         prod[1] & gl.MASK16, prod[1] >> 16]), 0, -1),
+                    br, m)
+                mz = gl._combine_cols_small(B.xp.moveaxis(s, -1, 0))
+                outs.append((B.xp.moveaxis(mz[0], 0, 1),
+                             B.xp.moveaxis(mz[1], 0, 1)))
+            eqt = (B.xp.moveaxis(e[0], 0, 1)[:, self._brev_idx],
+                   B.xp.moveaxis(e[1], 0, 1)[:, self._brev_idx])
+            outs.append(eqt)
+            return (B.xp.stack([o[0] for o in outs]),
+                    B.xp.stack([o[1] for o in outs]))
+
+        jf = self.e._jit(("lin_g_t", m), fn)
+        with B.jax_mode():
+            return jf(z_dev, eq_dev)
 
     # -- decomposition ----------------------------------------------------
     def dec_prove(self, cm_i: LCCCS, wit: DeviceWitness, transcript,
@@ -395,14 +456,12 @@ class DeviceNifs:
         emitted directly transposed + bit-reversed (fused into the jit, no
         second full-size buffer)."""
         ccs = self.ccs
-        m = ccs.m
         t = ccs.t
         r1 = [H.ntt_slots(r)[0] for r in cm_i_s[0].r]
         r2 = [H.ntt_slots(r)[0] for r in cm_i_s[K].r]
         eq_r1 = self.e.eq_table(r1, None)
         eq_r2 = self.e.eq_table(r2, None)
         eq_b = self.e.eq_table(beta_s, None)
-        ucoo = self._unified_coo()
 
         with B.numpy_mode():
             # alpha powers alpha_i^{d+1}, k-major (matches fhat stack order)
@@ -418,6 +477,34 @@ class DeviceNifs:
                 for j in range(t):
                     zeta_pows[i, j] = list(H.fq3_pow(zeta_s[i], j + 1))
             zeta_c = gl.from_int(zeta_pows)      # (2K, t, 3) limbs
+
+        fn = self._build_g_fn()
+
+        with B.jax_mode():
+            zs = (B.xp.stack([z[0] for z in z_s]),
+                  B.xp.stack([z[1] for z in z_s]))
+        # fhats (2.3 GB at production scale) are dead after this call
+        # (thetas come from the sum-check's final values) — donate them.
+        # The tail output has exactly fhats' element count so the donated
+        # buffers are reusable (the round-1 single-stack output was 95 rows
+        # vs the 90-row input, which silently defeated the donation and
+        # doubled peak HBM — BENCH_r01 post-mortem).
+        jf = self.e._jit(("build_g", self.t_layout), fn,
+                         donate_argnums=(0,))
+        with B.jax_mode():
+            return jf(fhats, zs, eq_r1, eq_r2, eq_b,
+                      self.e.put(alpha_c), self.e.put(zeta_c))
+
+    def _build_g_fn(self):
+        """The jitted g-builder: (fhats, zs, eq1, eq2, eqb, alpha, zeta) ->
+        (head, tail) where head = [eq_r1, comb1, eq_r2, comb2, eq_beta]
+        (5, m, 24) and tail = the alpha-scaled f_hat stack (2K*TAU, m, 24)
+        (t-layout: (*, 24, m) bit-reversed)."""
+        ccs = self.ccs
+        m = ccs.m
+        t = ccs.t
+        K = self.p.K
+        ucoo = self._unified_coo()
 
         def fn(fhats, zs, eq1, eq2, eqb, alpha, zeta):
             # fhats: (2K, TAU, m, 24); zs: (2K, n, 24)
@@ -458,27 +545,19 @@ class DeviceNifs:
 
             c1 = half(0, K)
             c2 = half(K, 2 * K)
-            parts_lo = B.xp.concatenate(
-                [B.xp.stack([eq1[0], c1[0], eq2[0], c2[0], eqb[0]]), flat[0]])
-            parts_hi = B.xp.concatenate(
-                [B.xp.stack([eq1[1], c1[1], eq2[1], c2[1], eqb[1]]), flat[1]])
+            head_lo = B.xp.stack([eq1[0], c1[0], eq2[0], c2[0], eqb[0]])
+            head_hi = B.xp.stack([eq1[1], c1[1], eq2[1], c2[1], eqb[1]])
             if self.t_layout:
                 from .accel_t import bitrev_indices
                 brev = B.xp.asarray(bitrev_indices(ccs.s))
-                return (B.xp.moveaxis(parts_lo, -2, -1)[..., brev],
-                        B.xp.moveaxis(parts_hi, -2, -1)[..., brev])
-            return parts_lo, parts_hi
+                head = (B.xp.moveaxis(head_lo, -2, -1)[..., brev],
+                        B.xp.moveaxis(head_hi, -2, -1)[..., brev])
+                tail = (B.xp.moveaxis(flat[0], -2, -1)[..., brev],
+                        B.xp.moveaxis(flat[1], -2, -1)[..., brev])
+                return head, tail
+            return (head_lo, head_hi), flat
 
-        with B.jax_mode():
-            zs = (B.xp.stack([z[0] for z in z_s]),
-                  B.xp.stack([z[1] for z in z_s]))
-        # fhats (2.3 GB at production scale) are dead after this call
-        # (thetas come from the sum-check's final values) — donate them
-        jf = self.e._jit(("build_g", self.t_layout), fn,
-                         donate_argnums=(0,))
-        with B.jax_mode():
-            return jf(fhats, zs, eq_r1, eq_r2, eq_b,
-                      self.e.put(alpha_c), self.e.put(zeta_c))
+        return fn
 
     # -- composition ------------------------------------------------------
     def prove(self, acc, w_acc: DeviceWitness, cm_i, w_i: DeviceWitness,

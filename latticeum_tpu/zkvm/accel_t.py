@@ -59,7 +59,7 @@ def make_comb_lin_t(S):
                 term = (lo[j], hi[j])
                 had = term if had is None else rq.ntt_mul_t(had, term)
             ci = (consts[0][i][:, None], consts[1][i][:, None])
-            term = gl.mul(had, ci) if False else rq.ntt_mul_t(
+            term = rq.ntt_mul_t(
                 had, (B.xp.broadcast_to(ci[0], had[0].shape),
                       B.xp.broadcast_to(ci[1], had[1].shape)))
             total = term if total is None else gl.add(total, term)
@@ -108,15 +108,19 @@ def make_comb_fold_batched(b_small, K, TAU=3):
     """Folding comb batched over the 2K*TAU f_hat axis (one ring-mul chain
     on a (2K*TAU, 24, n) tensor instead of 90 unrolled chains; the unrolled
     version OOM-killed the TPU compile helper).  Same consts as the host
-    comb: (2K, 3) Fq3 components of mu; powers computed on device."""
+    comb: (2K, 3) Fq3 components of mu; powers computed on device.
+
+    Takes PARTS vals: [head (5, 24, n), tail (2K*TAU, 24, n)] — the split
+    keeps the f_hat tail byte-identical to the donated fhats input of
+    build_g (see accel_nifs._build_g_fn)."""
     from ..field import fq3
 
     def comb(vals, consts):
-        lo, hi = vals
+        (lo, hi), (tlo, thi) = vals
         result = gl.add(rq.ntt_mul_t((lo[0], hi[0]), (lo[1], hi[1])),
                         rq.ntt_mul_t((lo[2], hi[2]), (lo[3], hi[3])))
         eq_b = (lo[4:5], hi[4:5])
-        f = (lo[5:], hi[5:])                       # (2K*TAU, 24, n)
+        f = (tlo, thi)                             # (2K*TAU, 24, n)
         f_sq = rq.ntt_mul_t(f, f)
         ev = None
         for b in range(1, b_small):
@@ -301,8 +305,7 @@ def run_sumcheck_t(engine, transcript, mles_t, nv, degree, comb_key, comb_fn,
         nv_left = nv - rounds_done
         assert n == 1 << nv_left or n <= (1 << nv_left)
         brev = bitrev_indices(int(np.log2(n))) if n > 1 else np.array([0])
-        lo = np.moveaxis(cur_host[0], -1, -2)[..., brev, :] \
-            if False else np.moveaxis(cur_host[0], 1, 2)[:, brev, :]
+        lo = np.moveaxis(cur_host[0], 1, 2)[:, brev, :]
         hi = np.moveaxis(cur_host[1], 1, 2)[:, brev, :]
         consts_host = engine.jax.tree_util.tree_map(np.asarray, consts_dev)
         from .accel import _numpy_tail
@@ -335,17 +338,18 @@ def interleave_fold_t(v0, step, r_limbs):
             hi.reshape(folded[1].shape[:-1] + (-1,)))
 
 
-def sumcheck_sums_t(cur, degree, comb_fn, consts, chunks=1):
+def sumcheck_sums_parts(parts, degree, comb_fn, consts, chunks=1):
     """Round sums only (no v0/step outputs — the fold kernel recomputes the
     split, keeping peak HBM at one buffer + transients).
 
-    chunks > 1 tiles the half-buffer along the minor axis inside the traced
-    fori (dynamic slices), bounding comb transients to half/chunks columns —
-    at production scale the un-chunked per-point transients (~4 GB) OOM'd
-    the chip on top of the 2.4 GB buffer.  Still ONE comb instance in the
-    graph (point and chunk share a flattened fori)."""
-    lo, hi = cur
-    n = lo.shape[-1]
+    parts: list of (lo, hi) stacks, each (k_i, 24, n) — comb_fn receives the
+    list of per-part chunk values.  chunks > 1 tiles the half-buffer along
+    the minor axis inside the traced fori (dynamic slices), bounding comb
+    transients to half/chunks columns — at production scale the un-chunked
+    per-point transients OOM'd the chip on top of the resident buffer.
+    Still ONE comb instance in the graph (point and chunk share a flattened
+    fori)."""
+    n = parts[0][0].shape[-1]
     half = n // 2
     assert half % chunks == 0 or chunks == 1
     cs = half // chunks
@@ -359,19 +363,20 @@ def sumcheck_sums_t(cur, degree, comb_fn, consts, chunks=1):
             j = i % chunks
             tl = t.astype(jnp.uint32)
             tz = jnp.zeros((), jnp.uint32)
-            k24 = lo.shape[:-1]
-            v0c = (jax.lax.dynamic_slice(lo, (0,) * (lo.ndim - 1) + (j * cs,),
-                                         k24 + (cs,)),
-                   jax.lax.dynamic_slice(hi, (0,) * (hi.ndim - 1) + (j * cs,),
-                                         k24 + (cs,)))
-            v1c = (jax.lax.dynamic_slice(
-                       lo, (0,) * (lo.ndim - 1) + (half + j * cs,),
-                       k24 + (cs,)),
-                   jax.lax.dynamic_slice(
-                       hi, (0,) * (hi.ndim - 1) + (half + j * cs,),
-                       k24 + (cs,)))
-            stepc = gl.sub(v1c, v0c)
-            vals = gl.add(v0c, gl.mul(stepc, (tl, tz)))
+            vals = []
+            for lo, hi in parts:
+                pre = (0,) * (lo.ndim - 1)
+                k24 = lo.shape[:-1]
+                v0c = (jax.lax.dynamic_slice(lo, pre + (j * cs,),
+                                             k24 + (cs,)),
+                       jax.lax.dynamic_slice(hi, pre + (j * cs,),
+                                             k24 + (cs,)))
+                v1c = (jax.lax.dynamic_slice(lo, pre + (half + j * cs,),
+                                             k24 + (cs,)),
+                       jax.lax.dynamic_slice(hi, pre + (half + j * cs,),
+                                             k24 + (cs,)))
+                stepc = gl.sub(v1c, v0c)
+                vals.append(gl.add(v0c, gl.mul(stepc, (tl, tz))))
             e = comb_fn(vals, consts)
             s = gl.sum_axis(e, axis=-1)
             prev = (sums[0][t], sums[1][t])
@@ -382,35 +387,56 @@ def sumcheck_sums_t(cur, degree, comb_fn, consts, chunks=1):
                 jnp.zeros((degree + 1, 24), jnp.uint32))
         return jax.lax.fori_loop(0, (degree + 1) * chunks, body, init)
 
-    v0 = (lo[..., :half], hi[..., :half])
-    v1 = (lo[..., half:], hi[..., half:])
-    step = gl.sub(v1, v0)
-    sums = []
-    vals = v0
+    sums = None
     for t in range(degree + 1):
-        if t == 1:
-            vals = v1
-        elif t >= 2:
-            vals = gl.add(vals, step)
+        vals = []
+        for lo, hi in parts:
+            v0 = (lo[..., :half], hi[..., :half])
+            v1 = (lo[..., half:], hi[..., half:])
+            step = gl.sub(v1, v0)
+            tt = (B.xp.asarray(np.uint32(t)), B.xp.asarray(np.uint32(0)))
+            vals.append(gl.add(v0, gl.mul(step, tt)))
         e = comb_fn(vals, consts)
-        sums.append(gl.sum_axis(e, axis=-1))
-    return (B.xp.stack([s[0] for s in sums]), B.xp.stack([s[1] for s in sums]))
+        s = gl.sum_axis(e, axis=-1)
+        if sums is None:
+            sums = ([s[0]], [s[1]])
+        else:
+            sums[0].append(s[0])
+            sums[1].append(s[1])
+    return (B.xp.stack(sums[0]), B.xp.stack(sums[1]))
+
+
+def sumcheck_sums_t(cur, degree, comb_fn, consts, chunks=1):
+    """Single-stack wrapper around sumcheck_sums_parts (comb takes (lo, hi))."""
+    return sumcheck_sums_parts(
+        [cur], degree, lambda vals, c: comb_fn(vals[0], c), consts,
+        chunks=chunks)
+
+
+def fold_round_parts(r_limbs, *bufs):
+    """Fold the top variable at challenge r and re-interleave, in place
+    (donated buffers): pairs of (lo, hi) flattened into bufs."""
+    outs = []
+    for i in range(0, len(bufs), 2):
+        cur_lo, cur_hi = bufs[i], bufs[i + 1]
+        n = cur_lo.shape[-1]
+        half = n // 2
+        v0 = (cur_lo[..., :half], cur_hi[..., :half])
+        v1 = (cur_lo[..., half:], cur_hi[..., half:])
+        step = gl.sub(v1, v0)
+        outs.append(interleave_fold_t(v0, step, r_limbs))
+    return tuple(outs)
 
 
 def fold_round_t(cur_lo, cur_hi, r_limbs):
     """Fold the top variable at challenge r and re-interleave, in place
     (donated buffers): (k, 24, n) -> (k, 24, n)."""
-    n = cur_lo.shape[-1]
-    half = n // 2
-    v0 = (cur_lo[..., :half], cur_hi[..., :half])
-    v1 = (cur_lo[..., half:], cur_hi[..., half:])
-    step = gl.sub(v1, v0)
-    return interleave_fold_t(v0, step, r_limbs)
+    return fold_round_parts(r_limbs, cur_lo, cur_hi)[0]
 
 
 def run_sumcheck_fixed(engine, transcript, mles_t, nv, degree, comb_key,
                        comb_fn, consts_dev, eq_info_rev=None, log=None):
-    """Device sum-check with a FIXED-SIZE buffer: one compile per comb.
+    """Device sum-check with FIXED-SIZE buffers: one compile per comb.
 
     Per-round recompilation (shapes halve every round) costs ~10 min per
     round on the remote TPU compiler; instead every round runs the same
@@ -421,37 +447,48 @@ def run_sumcheck_fixed(engine, transcript, mles_t, nv, degree, comb_key,
     Compute cost is n per round instead of n/2^i — bounded 2x of the total
     shrinking-buffer work, invisible next to compile time.
 
-    mles_t: (k, 24, n) bit-reversed; transcript-identical to the host path.
+    mles_t: either a single (lo, hi) stack (k, 24, n) or a LIST of such
+    parts (the fold path passes [head(5), f_hat tail(2K*TAU)] so the tail
+    stays byte-compatible with the donated build_g input).  With parts the
+    comb_fn receives the list; single-stack combs receive (lo, hi).
+    Bit-reversed hypercube; transcript-identical to the host path.
     """
     import time
+    # single stack = (lo, hi) arrays; parts = sequence of such pairs
+    is_parts = not hasattr(mles_t[0], "shape")
+    parts = list(mles_t) if is_parts else [mles_t]
+    part_comb = comb_fn if is_parts else (
+        lambda vals, c: comb_fn(vals[0], c))
+
     transcript.absorb_u64(nv)
     transcript.absorb_u64(degree)
     proof, chals = [], []
-    cur = mles_t
-    n = int(cur[0].shape[-1])
-    k = int(cur[0].shape[0])
+    n = int(parts[0][0].shape[-1])
+    k = sum(int(p[0].shape[0]) for p in parts)
     active = n
     rounds_done = 0
 
-    # chunk the per-point comb transients to ~<=400 MB (OOM headroom)
-    chunk_budget = getattr(engine, "sum_chunk_bytes", 400 << 20)
+    # chunk the per-point comb transients to ~<=192 MB (OOM headroom)
+    chunk_budget = getattr(engine, "sum_chunk_bytes", 192 << 20)
     bytes_half = k * 24 * (n // 2) * 8
     chunks = 1
     while bytes_half // chunks > chunk_budget and (n // 2) % (chunks * 2) == 0:
         chunks *= 2
 
-    def sums_fn(c, consts):
-        return sumcheck_sums_t(c, degree, comb_fn, consts, chunks=chunks)
+    def sums_fn(ps, consts):
+        return sumcheck_sums_parts(ps, degree, part_comb, consts,
+                                   chunks=chunks)
 
     jf = engine._jit((comb_key, "fixed", k, n, degree), sums_fn)
-    # fold kernel donates the buffer: peak HBM stays ~one buffer + transients
-    ff = engine._jit(("fold_fixed", k, n), fold_round_t,
-                     donate_argnums=(0, 1))
+    # fold kernel donates the buffers: peak HBM stays ~one buffer set
+    nb = len(parts)
+    ff = engine._jit(("fold_fixed", k, n, nb), fold_round_parts,
+                     donate_argnums=tuple(range(1, 2 * nb + 1)))
 
     while rounds_done < nv and active // 2 >= engine.tail:
         t0 = time.time()
         with B.jax_mode():
-            sums = jf(cur, consts_dev)
+            sums = jf(parts, consts_dev)
         ints = gl.to_int(engine.get(sums))
         msg = [[int(v) for v in row] for row in ints]
         transcript.absorb_slice(msg)
@@ -461,8 +498,9 @@ def run_sumcheck_fixed(engine, transcript, mles_t, nv, degree, comb_key,
         chals.append(r)
         with B.numpy_mode():
             r_limbs = mle_mod.fq3_const(r)
+        flat = [a for p in parts for a in p]
         with B.jax_mode():
-            cur = ff(cur[0], cur[1], engine.put_small(r_limbs))
+            parts = list(ff(engine.put_small(r_limbs), *flat))
         active //= 2
         rounds_done += 1
         if log:
@@ -470,9 +508,10 @@ def run_sumcheck_fixed(engine, transcript, mles_t, nv, degree, comb_key,
 
     final = None
     if rounds_done < nv:
-        cur_host = engine.get(cur)
+        hosts = [engine.get(p) for p in parts]
         stride = n // active
-        act = (cur_host[0][..., ::stride], cur_host[1][..., ::stride])
+        act = (np.concatenate([h[0][..., ::stride] for h in hosts]),
+               np.concatenate([h[1][..., ::stride] for h in hosts]))
         tail_proof, tail_chals, final = _host_tail_from_t(
             engine, transcript, act, nv, rounds_done, degree, comb_key,
             consts_dev, eq_info_rev, chals)
@@ -480,8 +519,11 @@ def run_sumcheck_fixed(engine, transcript, mles_t, nv, degree, comb_key,
         chals.extend(tail_chals)
     else:
         # fully folded on device: final MLE values sit at buffer position 0
-        cur_host = engine.get(cur)
-        final = (cur_host[0][..., 0], cur_host[1][..., 0])
+        hosts = [engine.get(p) for p in parts]
+        final = (np.concatenate([np.asarray(h[0][..., 0]).reshape(-1, 24)
+                                 for h in hosts]),
+                 np.concatenate([np.asarray(h[1][..., 0]).reshape(-1, 24)
+                                 for h in hosts]))
     # final: (k, 24) == each MLE evaluated at the challenge point (gives
     # the theta/evaluation claims for free)
     final = (np.asarray(final[0]).reshape(-1, 24),

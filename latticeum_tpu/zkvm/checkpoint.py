@@ -50,6 +50,10 @@ def save(path: str, state, vm, mem_ops_comm, params):
         acc_r=_rings_to_np(acc.r), acc_v=_rings_to_np(acc.v),
         acc_cm=_rings_to_np(acc.cm), acc_u=_rings_to_np(acc.u),
         acc_xw=_rings_to_np(acc.x_w), acc_h=_rings_to_np([acc.h]),
+        # the collected verifier vars of the LAST fold feed the NEXT step's
+        # folding-proof witness region — dropping them diverges the chain
+        # (different z, different h_i) on the first post-resume step
+        fvars=json.dumps(state.folding_proof_vars, default=int),
         w_f_coeff_lo=lo, w_f_coeff_hi=hi,
         memory=np.frombuffer(
             b"".join(bytes(p) for p in vm.memory), dtype=np.uint8),
@@ -62,6 +66,8 @@ def load(path: str, vm, params):
     """Restore (state_fields dict, acc LCCCS, w_acc Witness) and mutate vm."""
     data = np.load(path, allow_pickle=False)
     meta = json.loads(str(data["meta"]))
+    meta["folding_proof_vars"] = (
+        json.loads(str(data["fvars"])) if "fvars" in data else None)
     acc = LCCCS(
         r=_np_to_rings(data["acc_r"]), v=_np_to_rings(data["acc_v"]),
         cm=_np_to_rings(data["acc_cm"]), u=_np_to_rings(data["acc_u"]),

@@ -221,7 +221,7 @@ class ZkVmProver:
                              z_i_comm=meta["z_i_comm"],
                              acc_comm=meta["acc_comm"], acc=acc_r,
                              w_acc=w_acc_r, folding_proof=None,
-                             folding_proof_vars=None)
+                             folding_proof_vars=meta["folding_proof_vars"])
             start_cycle = meta["step"]
 
         steps = [state.ivc_step]
