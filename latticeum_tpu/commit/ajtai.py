@@ -67,6 +67,24 @@ class AjtaiScheme:
         return AjtaiScheme(gl.from_int(np.array(full, dtype=object)), kappa, n)
 
     @staticmethod
+    def from_reference_rng(kappa: int, n: int):
+        """Bit-exact replication of the REFERENCE matrix (main.rs:81-83):
+        `vec![vec![R::rand(rng); n]; kappa]` evaluates `R::rand` once and
+        clones it over all columns AND rows, so the entire matrix is ONE
+        ring element drawn from ark_std::test_rng (ChaCha12 + arkworks
+        rejection sampling — see crypto/ark_rng.py)."""
+        from ..crypto.ark_rng import reference_ajtai_ring
+        elem = reference_ajtai_ring()
+        arr = np.array([elem] * kappa, dtype=object)      # (kappa, 24)
+        limbs = gl.from_int(arr)
+        mat = (B.xp.broadcast_to(limbs[0][:, None, :], (kappa, n, 24)),
+               B.xp.broadcast_to(limbs[1][:, None, :], (kappa, n, 24)))
+        scheme = AjtaiScheme(mat, kappa, n)
+        scheme.rows_limbs = limbs
+        scheme.row_constant = True
+        return scheme
+
+    @staticmethod
     def from_host_matrix(mat_ints):
         """mat_ints: (kappa, n, 24) nested list / object array."""
         arr = np.array(mat_ints, dtype=object)

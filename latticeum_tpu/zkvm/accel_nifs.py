@@ -42,6 +42,9 @@ class DeviceNifs:
         self.ccs = ccs
         self.p = params
         self.t_layout = t_layout
+        # shrinking-buffer sum-check (one cached compile per round shape)
+        # vs fixed-buffer (one compile, 2x work, interleave temps)
+        self.shrink = True
         with B.jax_mode():
             self.ajtai_rows = engine.put(gl.from_int(
                 np.array(ajtai_rows, dtype=object)))
@@ -83,11 +86,29 @@ class DeviceNifs:
         g_t = g_dev if (already_t or is_parts) \
             else self._accel_t.to_t_layout(self.e, g_dev)
         del g_dev
-        return self._accel_t.run_sumcheck_fixed(
+        runner = (self._accel_t.run_sumcheck_shrink if self.shrink
+                  else self._accel_t.run_sumcheck_fixed)
+        return runner(
             self.e, transcript, g_t, nv, degree, key, comb_t, consts_dev,
             eq_info_rev=eq_info, log=log)
 
     # -- witness pipeline -------------------------------------------------
+    def _fhat_maybe_t(self, f_coeff):
+        """build_fhat, transposed + bit-reversed under t_layout.
+
+        Under t_layout every f_hat is BORN in the (TAU, 24, m) bit-reversed
+        layout, so the fold's tail part is a pure concatenation — no 2 GB
+        transpose inside build_g (which peaked at 12.3 GB in mem_audit)."""
+        f_hat = Witness.build_fhat(f_coeff)
+        if not self.t_layout:
+            return f_hat
+        from .accel_t import bitrev_indices
+        npad = int(f_hat[0].shape[-2])
+        brev = B.xp.asarray(bitrev_indices(
+            int(np.log2(npad)) if npad > 1 else 0))
+        return (B.xp.moveaxis(f_hat[0], -2, -1)[..., brev],
+                B.xp.moveaxis(f_hat[1], -2, -1)[..., brev])
+
     def build_witness(self, w_dev):
         """w_ccs (nw, 24) device -> DeviceWitness (jitted pipeline)."""
         Bp, L = self.p.B, self.p.L
@@ -96,11 +117,11 @@ class DeviceNifs:
             w_coeff = rq.icrt(w)
             f_coeff = dc.gadget_decompose(w_coeff, Bp, L)
             f = rq.crt(f_coeff)
-            f_hat = Witness.build_fhat(f_coeff)
+            f_hat = self._fhat_maybe_t(f_coeff)
             return f_coeff, f, f_hat
 
         nw = int(w_dev[0].shape[0])
-        jf = self.e._jit(("witness", nw), fn)
+        jf = self.e._jit(("witness", nw, self.t_layout), fn)
         with B.jax_mode():
             f_coeff, f, f_hat = jf(w_dev)
         return DeviceWitness(w_dev, f_coeff, f, f_hat)
@@ -111,11 +132,11 @@ class DeviceNifs:
         def fn(f_coeff):
             f = rq.crt(f_coeff)
             w = dc.gadget_recompose(f, Bp, L)
-            f_hat = Witness.build_fhat(f_coeff)
+            f_hat = self._fhat_maybe_t(f_coeff)
             return f, w, f_hat
 
         nf = int(f_coeff_dev[0].shape[0])
-        jf = self.e._jit(("witness_f", nf), fn)
+        jf = self.e._jit(("witness_f", nf, self.t_layout), fn)
         with B.jax_mode():
             f, w, f_hat = jf(f_coeff_dev)
         return DeviceWitness(w, f_coeff_dev, f, f_hat)
@@ -163,8 +184,8 @@ class DeviceNifs:
             getattr(self, "_lin_comb_t", None), self._lin_consts_dev,
             eq_info=(beta_s, ccs.t), log=log, already_t=self.t_layout)
         del g
-        eq_r = self.e.eq_table(chals, None)
-        v = self.e.eval_mles_at(wit.f_hat, eq_r)
+        eq_r = self._eq_for_eval(chals, wit.f_hat)
+        v = self._eval_fhat(wit.f_hat, eq_r)
         # u_j = mle[M_j z](r) = the final folded sum-check values (rows 0..t)
         u_ints = gl.to_int((final[0][:ccs.t], final[1][:ccs.t]))
         u = [[int(x) for x in row] for row in u_ints]
@@ -255,8 +276,8 @@ class DeviceNifs:
             y0 = [H.ntt_sub(list(c), a) for c, a in zip(cm_i.cm, acc)]
         y_s = [y0] + ys_tail
 
-        eq_r = self.e.eq_table(point, None)
-        v_s = [self.e.eval_mles_at(w.f_hat, eq_r) for w in wit_s]
+        eq_r = self._eq_for_eval(point, wit_s[0].f_hat)
+        v_s = [self._eval_fhat(w.f_hat, eq_r) for w in wit_s]
 
         eqT = self.eqT(point)
         z_s = []
@@ -283,6 +304,40 @@ class DeviceNifs:
                                  h=x_s[k][-1]))
         proof = {"u_s": u_s, "v_s": v_s, "x_s": x_s, "y_s": y_s}
         return z_s, lcccs_s, wit_s, proof
+
+    def _eq_for_eval(self, point, f_hat):
+        """eq table matching f_hat's layout (std (npad, 24) or t-layout
+        (24, npad) bit-reversed) for <f_hat, eq> evaluation claims."""
+        npad = int(f_hat[0].shape[-1 if self.t_layout else -2])
+        eq = self.e.eq_table(point, npad)
+        if not self.t_layout:
+            return eq
+        from .accel_t import bitrev_indices
+        brev = bitrev_indices(int(np.log2(npad)) if npad > 1 else 0)
+
+        def fn(e, br):
+            return (B.xp.moveaxis(e[0], 0, 1)[:, br],
+                    B.xp.moveaxis(e[1], 0, 1)[:, br])
+
+        jf = self.e._jit(("eq_t", npad), fn)
+        with B.jax_mode():
+            return jf(eq, B.xp.asarray(brev))
+
+    def _eval_fhat(self, f_hat, eq_dev):
+        """<f_hat_j, eq> for each of the TAU f_hat MLEs."""
+        if not self.t_layout:
+            return self.e.eval_mles_at(f_hat, eq_dev)
+
+        def fn(m_, e):
+            prod = rq.ntt_mul_t(m_, (e[0][None], e[1][None]))
+            return gl.sum_axis(prod, axis=-1)
+
+        npad = int(f_hat[0].shape[-1])
+        jf = self.e._jit(("evalfhat_t", npad), fn)
+        with B.jax_mode():
+            out = jf(f_hat, eq_dev)
+        ints = gl.to_int(self.e.get(out))
+        return [[int(v) for v in row] for row in ints]
 
     def eqT(self, point):
         """(t, n, 24) M_j^T eq rows on device."""
@@ -329,17 +384,31 @@ class DeviceNifs:
         alpha_s, beta_s, zeta_s, mu_s = fold.squeeze_alpha_beta_zeta_mu(
             transcript, log_m, K)
 
-        # stack f_hats once and free the per-witness copies (2.3 GB at
-        # production scale); the stack serves both the g build and the
-        # theta evaluation claims
-        with B.jax_mode():
-            fhats = (B.xp.stack([w.f_hat[0] for w in wit_s]),
-                     B.xp.stack([w.f_hat[1] for w in wit_s]))
+        # assemble the fold g: the f_hat tail + the 5-row head.  Witness
+        # f_hats are freed as they are consumed; w_ccs is dead after the
+        # z_s capture in dec_prove.
         for w in wit_s:
-            w.f_hat = None
-            w.f_coeff = None
-        g = self._build_g(fhats, z_s, cm_i_s, alpha_s, zeta_s, beta_s, K)
-        del fhats
+            w.w_ccs = None
+        if self.t_layout:
+            # f_hats are BORN t-layout -> the tail is a pure concatenation
+            with B.jax_mode():
+                tail = (B.xp.concatenate([w.f_hat[0] for w in wit_s]),
+                        B.xp.concatenate([w.f_hat[1] for w in wit_s]))
+            for w in wit_s:
+                w.f_hat = None
+                w.f_coeff = None
+            head = self._build_head(tail, z_s, cm_i_s, alpha_s, zeta_s,
+                                    beta_s, K)
+            g = (head, tail)
+        else:
+            with B.jax_mode():
+                fhats = (B.xp.stack([w.f_hat[0] for w in wit_s]),
+                         B.xp.stack([w.f_hat[1] for w in wit_s]))
+            for w in wit_s:
+                w.f_hat = None
+                w.f_coeff = None
+            g = self._build_g(fhats, z_s, cm_i_s, alpha_s, zeta_s, beta_s, K)
+            del fhats
         with B.numpy_mode():
             mu_c = fold.mu_consts(mu_s)
         proof_sc, chals, final = self._sumcheck(
@@ -395,11 +464,11 @@ class DeviceNifs:
         def fn(f):
             f_coeff = rq.icrt(f)
             w = dc.gadget_recompose(f, Bp, L)
-            f_hat = Witness.build_fhat(f_coeff)
+            f_hat = self._fhat_maybe_t(f_coeff)
             return f_coeff, w, f_hat
 
         nf = int(f_dev[0].shape[0])
-        jf = self.e._jit(("witness_from_f", nf), fn)
+        jf = self.e._jit(("witness_from_f", nf, self.t_layout), fn)
         with B.jax_mode():
             f_coeff, w, f_hat = jf(f_dev)
         return DeviceWitness(w, f_coeff, f_dev, f_hat)
@@ -558,6 +627,98 @@ class DeviceNifs:
             return (head_lo, head_hi), flat
 
         return fn
+
+    def _build_head(self, tail, z_s, cm_i_s, alpha_s, zeta_s, beta_s, K):
+        """The 5-row fold head [eq_r1, c1, eq_r2, c2, eq_beta] in t-layout
+        (5, 24, m), built in one jit that READS the already-t-layout tail:
+
+          c_half = sum_{i,d} alpha_i^{d+1} f_hat[i][d]
+                   + M^T-combined challenged Mz (unified COO, segment-summed
+                     straight into bit-reversed positions)
+
+        Replaces _build_g for the t-layout path: no (2K, TAU, m, 24)
+        standard-layout stack, no 2 GB transpose, no donation needed — the
+        round-1 build_g peaked at 12.3 GB (mem_audit); this peaks at the
+        tail (read-only) + ~1 GB of temps."""
+        ccs = self.ccs
+        m, t, TAU_ = ccs.m, ccs.t, TAU
+        r1 = [H.ntt_slots(r)[0] for r in cm_i_s[0].r]
+        r2 = [H.ntt_slots(r)[0] for r in cm_i_s[K].r]
+        eq_r1 = self.e.eq_table(r1, None)
+        eq_r2 = self.e.eq_table(r2, None)
+        eq_b = self.e.eq_table(beta_s, None)
+        ucoo = self._unified_coo()
+        from .accel_t import bitrev_indices
+        brev = bitrev_indices(ccs.s)
+        if not hasattr(self, "_ucoo_brev_rows"):
+            with B.jax_mode():
+                self._ucoo_brev_rows = B.xp.asarray(
+                    brev[np.asarray(ucoo["rows"])])
+                self._brev_m = B.xp.asarray(brev)
+
+        with B.numpy_mode():
+            apows = []
+            for a in alpha_s:
+                p = (1, 0, 0)
+                for _d in range(TAU_):
+                    p = H.fq3_mul(p, a)
+                    apows.append(list(p))
+            alpha_c = gl.from_int(np.array(apows, dtype=object))  # (2K*TAU,3)
+            zeta_pows = np.empty((2 * K, t, 3), dtype=object)
+            for i in range(2 * K):
+                for j in range(t):
+                    zeta_pows[i, j] = list(H.fq3_pow(zeta_s[i], j + 1))
+            zeta_c = gl.from_int(zeta_pows)
+
+        def fn(tl, zs, eq1, eq2, eqb, alpha, zeta):
+            def tp(x):
+                return (B.xp.moveaxis(x[0], 0, 1)[:, self._brev_m],
+                        B.xp.moveaxis(x[1], 0, 1)[:, self._brev_m])
+
+            def half(lo_idx, hi_idx):
+                acc = None
+                for idx in range(lo_idx * TAU_, hi_idx * TAU_):
+                    a3 = tuple((alpha[0][idx, c], alpha[1][idx, c])
+                               for c in range(3))
+                    term = rq.ntt_scalar_mul_t((tl[0][idx], tl[1][idx]), a3)
+                    acc = term if acc is None else gl.add(acc, term)
+                # combined z: comb[j] = sum_i zeta_i^{j+1} z_i  (t, n, 24)
+                comb = gl.zeros((t, ccs.n, 24))
+                for i in range(lo_idx, hi_idx):
+                    zc = tuple((zeta[0][i, :, c, None],
+                                zeta[1][i, :, c, None])
+                               for c in range(3))
+                    zi = (zs[0][i][None], zs[1][i][None])
+                    comb = gl.add(comb, rq.ntt_scalar_mul(zi, zc))
+                zg = (comb[0][ucoo["mats"], ucoo["cols"]],
+                      comb[1][ucoo["mats"], ucoo["cols"]])
+                if ucoo["scalar"]:
+                    sv = (ucoo["vals"][0][:, None], ucoo["vals"][1][:, None])
+                    prod = gl.mul(sv, zg)
+                else:
+                    prod = rq.ntt_mul(ucoo["vals"], zg)
+                s = B.segment_sum(
+                    B.xp.moveaxis(B.xp.stack(
+                        [prod[0] & gl.MASK16, prod[0] >> 16,
+                         prod[1] & gl.MASK16, prod[1] >> 16]), 0, -1),
+                    self._ucoo_brev_rows, m)
+                mz = gl._combine_cols_small(B.xp.moveaxis(s, -1, 0))
+                mzt = (B.xp.moveaxis(mz[0], 0, 1), B.xp.moveaxis(mz[1], 0, 1))
+                return gl.add(acc, mzt)
+
+            c1 = half(0, K)
+            c2 = half(K, 2 * K)
+            e1, e2, eb = tp(eq1), tp(eq2), tp(eqb)
+            return (B.xp.stack([e1[0], c1[0], e2[0], c2[0], eb[0]]),
+                    B.xp.stack([e1[1], c1[1], e2[1], c2[1], eb[1]]))
+
+        with B.jax_mode():
+            zs = (B.xp.stack([z[0] for z in z_s]),
+                  B.xp.stack([z[1] for z in z_s]))
+        jf = self.e._jit(("build_head",), fn)
+        with B.jax_mode():
+            return jf(tail, zs, eq_r1, eq_r2, eq_b,
+                      self.e.put(alpha_c), self.e.put(zeta_c))
 
     # -- composition ------------------------------------------------------
     def prove(self, acc, w_acc: DeviceWitness, cm_i, w_i: DeviceWitness,

@@ -531,6 +531,100 @@ def run_sumcheck_fixed(engine, transcript, mles_t, nv, degree, comb_key,
     return proof, chals, final
 
 
+def fold_shrink_parts(r_limbs, *bufs):
+    """folded = v0 + r*step with CONTIGUOUS halves: (k, 24, n) -> (k, 24, n/2).
+
+    No interleave: the shrink sum-check keeps the active array contiguous,
+    so the fold is two slices + one scalar mul (the fixed-buffer interleave
+    cost 5.3 GB of stack/reshape temps at production scale — mem_audit)."""
+    outs = []
+    for i in range(0, len(bufs), 2):
+        cur_lo, cur_hi = bufs[i], bufs[i + 1]
+        half = cur_lo.shape[-1] // 2
+        v0 = (cur_lo[..., :half], cur_hi[..., :half])
+        v1 = (cur_lo[..., half:], cur_hi[..., half:])
+        step = gl.sub(v1, v0)
+        outs.append(gl.add(v0, rq.ntt_scalar_mul_t(step, r_limbs)))
+    return tuple(outs)
+
+
+def run_sumcheck_shrink(engine, transcript, mles_t, nv, degree, comb_key,
+                        comb_fn, consts_dev, eq_info_rev=None, log=None):
+    """Device sum-check with SHRINKING buffers (one compile per round shape,
+    persistently cached): halves memory and total compute vs the fixed-buffer
+    variant (sum_i n/2^i = 2n work instead of rounds*n), at the cost of
+    ~log2(n/tail) cached compiles per comb.
+
+    Same parts/comb conventions and transcript as run_sumcheck_fixed."""
+    import time
+    is_parts = not hasattr(mles_t[0], "shape")
+    parts = list(mles_t) if is_parts else [mles_t]
+    part_comb = comb_fn if is_parts else (
+        lambda vals, c: comb_fn(vals[0], c))
+
+    transcript.absorb_u64(nv)
+    transcript.absorb_u64(degree)
+    proof, chals = [], []
+    k = sum(int(p[0].shape[0]) for p in parts)
+    rounds_done = 0
+    chunk_budget = getattr(engine, "sum_chunk_bytes", 192 << 20)
+    nb = len(parts)
+
+    while rounds_done < nv and int(parts[0][0].shape[-1]) // 2 >= engine.tail:
+        t0 = time.time()
+        n = int(parts[0][0].shape[-1])
+        bytes_half = k * 24 * (n // 2) * 8
+        chunks = 1
+        while (bytes_half // chunks > chunk_budget
+               and (n // 2) % (chunks * 2) == 0):
+            chunks *= 2
+
+        def sums_fn(ps, consts, _c=chunks):
+            return sumcheck_sums_parts(ps, degree, part_comb, consts,
+                                       chunks=_c)
+
+        jf = engine._jit((comb_key, "shrink", k, n, degree), sums_fn)
+        with B.jax_mode():
+            sums = jf(parts, consts_dev)
+        ints = gl.to_int(engine.get(sums))
+        msg = [[int(v) for v in row] for row in ints]
+        transcript.absorb_slice(msg)
+        proof.append(msg)
+        r = transcript.get_challenge()
+        transcript.absorb_fq3(r)
+        chals.append(r)
+        with B.numpy_mode():
+            r_limbs = mle_mod.fq3_const(r)
+        # no donation: the halved output can never alias the input buffer
+        ff = engine._jit(("fold_shrink", k, n, nb), fold_shrink_parts)
+        flat = [a for p in parts for a in p]
+        with B.jax_mode():
+            parts = list(ff(engine.put_small(r_limbs), *flat))
+        rounds_done += 1
+        if log:
+            log(f"dev round {rounds_done-1}: {time.time()-t0:.2f}s")
+
+    final = None
+    if rounds_done < nv:
+        hosts = [engine.get(p) for p in parts]
+        act = (np.concatenate([h[0] for h in hosts]),
+               np.concatenate([h[1] for h in hosts]))
+        tail_proof, tail_chals, final = _host_tail_from_t(
+            engine, transcript, act, nv, rounds_done, degree, comb_key,
+            consts_dev, eq_info_rev, chals)
+        proof.extend(tail_proof)
+        chals.extend(tail_chals)
+    else:
+        hosts = [engine.get(p) for p in parts]
+        final = (np.concatenate([np.asarray(h[0][..., 0]).reshape(-1, 24)
+                                 for h in hosts]),
+                 np.concatenate([np.asarray(h[1][..., 0]).reshape(-1, 24)
+                                 for h in hosts]))
+    final = (np.asarray(final[0]).reshape(-1, 24),
+             np.asarray(final[1]).reshape(-1, 24))
+    return proof, chals, final
+
+
 def _host_tail_from_t(engine, transcript, cur_host, nv, rounds_done, degree,
                       comb_key, consts_dev, eq_info_rev, chals):
     """Un-bit-reverse + transpose a (k, 24, L) t-layout array and finish the

@@ -92,7 +92,8 @@ class IVCState:
 class ZkVmProver:
     def __init__(self, params=None, scheme_seed: int = 0, debug: bool = False,
                  device: bool = False, t_layout: bool = True,
-                 tail_threshold: int = 512, log=None):
+                 tail_threshold: int = 512, log=None,
+                 reference_scheme: bool = False):
         """device=True routes the fold hot path (witness pipeline, Ajtai,
         both sum-checks, evaluation claims) through jitted TPU kernels
         (accel.DeviceEngine + accel_nifs.DeviceNifs); t_layout selects the
@@ -106,8 +107,13 @@ class ZkVmProver:
                                       B_SMALL=self.params.B_SMALL,
                                       K=self.params.K)
         n_ajtai = self.layout.w_size * self.params.L
-        self.scheme = AjtaiScheme.from_seed(self.params.KAPPA, n_ajtai,
-                                            seed=scheme_seed)
+        if reference_scheme:
+            # bit-exact ark_std::test_rng matrix for Rust-parity runs
+            self.scheme = AjtaiScheme.from_reference_rng(self.params.KAPPA,
+                                                         n_ajtai)
+        else:
+            self.scheme = AjtaiScheme.from_seed(self.params.KAPPA, n_ajtai,
+                                                seed=scheme_seed)
         self.committer = ZkVmCommitter()
         self.debug = debug
         self.timings = {}

@@ -1,9 +1,10 @@
-"""Validation: run ONE full IVC step (fold + collect) and check that the
+"""Validation: run TWO full IVC steps (fold + collect) and check that the
 STEP-1 witness — which now contains real folding-proof verifier variables —
-satisfies the production CCS.  Also natively verifies the fold.
+satisfies the production CCS.  Also natively verifies each fold on host.
 
 This is the definitive end-to-end check of the folding-verifier gate family
-and the collector.  Runs ~20-40 min in numpy; intended for background runs.
+and the collector.  Runs the fold hot path on the TPU (device engine);
+the relation check and native NIFS verify run per step via --debug.
 """
 
 import faulthandler
@@ -25,8 +26,9 @@ def main():
     def log(msg):
         print(f"[{time.time()-t0:.1f}s] {msg}", flush=True)
 
-    prover = ZkVmProver(debug=True)
-    log("prover ready")
+    device = "--host" not in sys.argv
+    prover = ZkVmProver(debug=True, device=device, t_layout=device, log=log)
+    log(f"prover ready (device={device})")
     vm = new_vm_1mb().load_elf_data(fib_const_guest(0xC594BFC3))
 
     state = prover.prove_vm(vm, max_steps=2,
