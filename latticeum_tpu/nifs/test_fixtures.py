@@ -42,6 +42,36 @@ def get_test_ccs(L: int = TEST_L) -> CCS:
                c=[H.ntt_from_u64(1), H.ntt_neg(H.ntt_from_u64(1))])
 
 
+def get_dummy_ccs(x_len: int, wit_len: int, L: int = 1) -> CCS:
+    """Arbitrary-size dummy CCS for benchmarking, mirroring the reference's
+    `get_test_dummy_r1cs` (latticefold/src/arith/r1cs.rs:155-201): A = B =
+    identity, C = squaring(z), so (Az)∘(Bz) = Cz holds for ANY z with
+    C[i][i] = z_i.  Row count padded like CCS::from_r1cs_padded
+    (benches/utils.rs:56-67)."""
+    n = x_len + wit_len + 1
+    rows = wit_len if (L == 1 and wit_len & (wit_len - 1) == 0) \
+        else wit_len * L
+    m = max((n - x_len - 1) * L, rows)
+    m = 1 << (m - 1).bit_length()
+    z = get_dummy_z(x_len, wit_len)
+    ident = [(i, i, H.ntt_from_u64(1)) for i in range(min(m, n))]
+    squar = [(i, i, list(z[i])) for i in range(min(m, n))]
+    A = SparseRingMatrix.from_host(m, n, ident)
+    C = SparseRingMatrix.from_host(m, n, squar)
+    return CCS(m=m, n=n, l=x_len, t=3, q=2, d=2, M=[A, A, C],
+               S=[[0, 1], [2]],
+               c=[H.ntt_from_u64(1), H.ntt_neg(H.ntt_from_u64(1))])
+
+
+def get_dummy_z(x_len: int, wit_len: int):
+    """Deterministic z = [x..., 1, w...] of small scalars (the analog of
+    benches/utils.rs get_test_dummy_z_split with rand)."""
+    rng = np.random.default_rng(7)
+    vals = ([int(v) for v in rng.integers(1, 1 << 16, x_len)] + [1]
+            + [int(v) for v in rng.integers(1, 1 << 16, wit_len)])
+    return [H.ntt_from_u64(v) for v in vals]
+
+
 def get_test_z(inp: int):
     """z = [io, 1, w...] as host scalar rings (r1cs.rs:227-235)."""
     return [H.ntt_from_u64(v) for v in [

@@ -157,3 +157,32 @@ def fib_loop_guest(n: int, base: int = 0x11000) -> bytes:
     words += [sw(0, 10, 0), jal(0, 0)]
     entry_off = main * 4
     return write_elf(words, base + entry_off, base)
+
+
+def mem_churn_guest(pages: int = 64, passes: int = 2, stride: int = 256,
+                    base: int = 0x11000) -> bytes:
+    """Memory-heavy guest: strided read-modify-write sweeps over `pages`
+    4 KiB pages of RAM (the paged-RAM-churn substitute for the reference's
+    EVM guest workload, guests/evm/src/main.rs) — every sweep touches every
+    page, so each step's Merkle mem-tree update path is exercised under
+    churn.  Trace count ~= pages * (4096/stride) * passes * 4 + O(10)."""
+    words = []
+    # a0 = cursor, a1 = end, a2 = passes, t0 = scratch
+    heap = 0x40000                        # past code+stack, page-aligned
+    words += li32(12, passes)
+    pass_off = len(words) * 4
+    words += li32(10, heap)
+    words += li32(11, heap + pages * 4096)
+    loop_off = len(words) * 4
+    words += [
+        lw(5, 10, 0),                     # t0 = mem[cursor]
+        add(5, 5, 10),                    # t0 += cursor
+        sw(10, 5, 0),                     # mem[cursor] = t0
+        addi(10, 10, stride),             # cursor += stride
+    ]
+    words += [bltu(10, 11, loop_off - len(words) * 4)]
+    words += [addi(12, 12, -1)]
+    words += [bne(12, 0, pass_off - len(words) * 4)]
+    # result = checksum word of the last page
+    words += [lw(10, 11, -stride), sw(0, 10, 0), jal(0, 0)]
+    return write_elf(words, base, base)
