@@ -1,0 +1,168 @@
+"""Production fold sum-check over a device mesh.
+
+Shards the PRODUCTION fold kernels — the (5 + 2K·TAU, 24, m) t-layout g
+stack, the shrinking-buffer sum-check (accel_t.run_sumcheck_shrink, ALL
+rounds, real Fiat-Shamir transcript) and the Ajtai commitment — over the
+"rows" axis of a jax mesh, and cross-checks bit-exact transcript equality
+against the single-device run.  GSPMD inserts the per-round all-reduces
+(the analog of the reference's rayon parallel sum-check regions,
+latticefold/src/utils/sumcheck/prover.rs:112-162, scaled across chips via
+ICI instead of threads).
+
+All limb arithmetic is exact uint32 (wrap-around) so reduction order cannot
+change results: the sharded transcript is bit-identical to the host one.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import backend as B
+from ..field import goldilocks as gl
+
+
+def _mk_engine(tail=512):
+    from ..nifs.nifs import DecompositionParams
+    from ..nifs.test_fixtures import get_test_ccs
+    from ..zkvm.accel import DeviceEngine
+    params = DecompositionParams(B=1 << 15, L=5, B_SMALL=2, K=15)
+    return DeviceEngine(get_test_ccs(), params, tail_threshold=tail)
+
+
+def _mk_g(m: int, K: int, TAU: int = 3, seed: int = 11):
+    """Deterministic production-shaped fold parts: head (5, 24, m) +
+    tail (2K*TAU, 24, m) uint32 limb pairs (valid, reduced residues)."""
+    rng = np.random.default_rng(seed)
+
+    def draw(k):
+        # canonical residues < p encoded in the 16-bit split limb pair
+        vals = rng.integers(0, (1 << 64) - (1 << 32) + 1, (k, 24, m),
+                            dtype=np.uint64)
+        lo16 = vals & 0xFFFF
+        mid = (vals >> 16) & 0xFFFF
+        hi = vals >> 32
+        return ((lo16 | (mid << 16)).astype(np.uint32),
+                (hi & 0xFFFFFFFF).astype(np.uint32))
+
+    return draw(5), draw(2 * K * TAU)
+
+
+def run_fold_sumcheck(engine, parts_dev, m, K, b_small=2, log=None):
+    """One full transcripted fold sum-check over whatever sharding
+    `parts_dev` carries.  Returns (proof, chals, final, transcript_state)."""
+    from ..crypto.transcript import Transcript
+    from ..nifs import folding as fold
+    from ..zkvm import accel_t
+
+    nv = int(np.log2(m))
+    comb = accel_t.make_comb_fold_batched(b_small, K)
+    # std-layout comb for the host-tail rounds below the engine threshold
+    accel_t.register_std_comb("fold_mesh", fold.make_comb_fn2(b_small, K))
+    # deterministic mu consts via the real challenge squeezer
+    with B.numpy_mode():
+        _, _, _, mu_s = fold.squeeze_alpha_beta_zeta_mu(Transcript(), nv, K)
+        mu_c = fold.mu_consts(mu_s)
+    t = Transcript()
+    proof, chals, final = accel_t.run_sumcheck_shrink(
+        engine, t, parts_dev, nv, 2 * b_small, "fold_mesh", comb,
+        engine.put_small(mu_c), log=log)
+    return proof, chals, final, t.ch.state
+
+
+def count_collectives(engine, parts_sharded, m, K, b_small=2):
+    """Compile the round-0 sums kernel against the sharded avals and count
+    the collectives GSPMD inserted (the measured per-round comm volume)."""
+    from ..zkvm import accel_t
+    from ..crypto.transcript import Transcript
+    from ..nifs import folding as fold
+    import jax
+
+    comb = accel_t.make_comb_fold_batched(b_small, K)
+    with B.numpy_mode():
+        _, _, _, mu_s = fold.squeeze_alpha_beta_zeta_mu(
+            Transcript(), int(np.log2(m)), K)
+        mu_c = fold.mu_consts(mu_s)
+    consts = engine.put_small(mu_c)
+
+    def sums_fn(ps, c):
+        return accel_t.sumcheck_sums_parts(ps, 2 * b_small, comb, c)
+
+    with B.jax_mode():
+        txt = jax.jit(sums_fn).lower(parts_sharded, consts) \
+            .compile().as_text()
+    return {kind: txt.count(f" {kind}(") + txt.count(f" {kind}-start(")
+            for kind in ("all-reduce", "all-gather", "reduce-scatter",
+                         "collective-permute")}
+
+
+def sharded_vs_single(n_devices: int, m: int = 1 << 13, K: int = 15,
+                      b_small: int = 2, tail: int = 512, log=None,
+                      with_collective_count: bool = True):
+    """The MULTICHIP check: run the production fold sum-check single-device
+    and rows-sharded over an n-device mesh; assert bit-exact proof +
+    transcript equality; Ajtai-commit a rows-sharded witness and compare.
+
+    Returns a result dict (shapes, equality flags, collective counts)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from . import mesh as M
+
+    engine = _mk_engine(tail)
+    head_h, tail_h = _mk_g(m, K)
+
+    # single-device reference
+    with B.jax_mode():
+        parts_1 = [engine.put(head_h), engine.put(tail_h)]
+    p1, c1, f1, ts1 = run_fold_sumcheck(engine, parts_1, m, K, b_small,
+                                        log=log)
+    del parts_1
+
+    # rows-sharded run (fresh engine: per-shape jit cache must not reuse
+    # the single-device executables)
+    engine2 = _mk_engine(tail)
+    mesh = M.make_mesh(n_devices)
+    sh = NamedSharding(mesh, P(None, None, "rows"))
+    parts_n = [tuple(jax.device_put(a, sh) for a in head_h),
+               tuple(jax.device_put(a, sh) for a in tail_h)]
+    colls = (count_collectives(engine2, parts_n, m, K, b_small)
+             if with_collective_count else None)
+    pn, cn, fn, tsn = run_fold_sumcheck(engine2, parts_n, m, K, b_small,
+                                        log=log)
+
+    # Ajtai: rows-sharded commitment (row-constant scheme: a_k * sum_i f_i)
+    rng = np.random.default_rng(3)
+    n_ajtai = m // 2
+    f = (rng.integers(0, 1 << 32, (n_ajtai, 24), dtype=np.uint32),
+         rng.integers(0, 0xFFFFFFFE, (n_ajtai, 24), dtype=np.uint32))
+    rows = (rng.integers(0, 1 << 32, (32, 24), dtype=np.uint32),
+            rng.integers(0, 0xFFFFFFFE, (32, 24), dtype=np.uint32))
+
+    def commit(rws, fv):
+        from ..ring import rq
+        total = gl.sum_axis(fv, axis=-2)
+        return rq.ntt_mul(rws, (B.xp.broadcast_to(total[0], rws[0].shape),
+                                B.xp.broadcast_to(total[1], rws[1].shape)))
+
+    sh_f = NamedSharding(mesh, P("rows", None))
+    f_sh = tuple(jax.device_put(a, sh_f) for a in f)
+    rows_r = tuple(jax.device_put(a, NamedSharding(mesh, P())) for a in rows)
+    with B.jax_mode():
+        cm_sh = engine2._jit(("ajtai_mesh", n_ajtai), commit)(rows_r, f_sh)
+        cm_1 = engine._jit(("ajtai_1", n_ajtai), commit)(
+            engine.put(rows), engine.put(f))
+    ajtai_equal = (np.array_equal(np.asarray(cm_sh[0]), np.asarray(cm_1[0]))
+                   and np.array_equal(np.asarray(cm_sh[1]),
+                                      np.asarray(cm_1[1])))
+
+    return {
+        "m": m, "K": K, "mles": 5 + 6 * K, "devices": n_devices,
+        "rounds_device": len([1 for _ in p1]) and int(np.log2(m // tail)),
+        "rounds_total": len(p1),
+        "proof_equal": p1 == pn,
+        "chals_equal": c1 == cn,
+        "final_equal": (np.array_equal(f1[0], fn[0])
+                        and np.array_equal(f1[1], fn[1])),
+        "transcript_equal": ts1 == tsn,
+        "ajtai_equal": ajtai_equal,
+        "collectives_round0": colls,
+    }

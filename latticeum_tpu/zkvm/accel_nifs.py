@@ -722,17 +722,33 @@ class DeviceNifs:
 
     # -- composition ------------------------------------------------------
     def prove(self, acc, w_acc: DeviceWitness, cm_i, w_i: DeviceWitness,
-              transcript, log=None):
+              transcript, log=None, timings=None):
+        import time
+        t = time.time()
+
+        def mark(name):
+            nonlocal t
+            now = time.time()
+            if timings is not None:
+                timings.setdefault(name, []).append(now - t)
+            if log:
+                log(f"  nifs.{name}: {now-t:.2f}s")
+            t = now
+
         nifs_mod.sanity_check(self.ccs, self.p)
         nifs_mod.absorb_public_input(acc, cm_i, transcript)
         linearized, lin_proof, _ = self.lin_prove(cm_i, w_i, transcript,
                                                   log=log)
+        mark("lin")
         z_l, lc_l, ws_l, dp_l = self.dec_prove(acc, w_acc, transcript,
                                                log=log)
+        mark("dec_l")
         z_r, lc_r, ws_r, dp_r = self.dec_prove(linearized, w_i, transcript,
                                                log=log)
+        mark("dec_r")
         folded, w0, fp = self.fold_prove(lc_l + lc_r, ws_l + ws_r,
                                          transcript, z_l + z_r, log=log)
+        mark("fold")
         proof = {"linearization": lin_proof, "decomposition_l": dp_l,
                  "decomposition_r": dp_r, "folding": fp}
         return folded, w0, proof

@@ -167,7 +167,8 @@ class ZkVmProver:
         """Fresh transcript per fold (main.rs:379-404)."""
         t = Transcript()
         if self.dn is not None:
-            return self.dn.prove(acc, w_acc, cm_i, w_i, t, log=self.log)
+            return self.dn.prove(acc, w_acc, cm_i, w_i, t, log=self.log,
+                                 timings=self.timings)
         return nifs_mod.prove(acc, w_acc, cm_i, w_i, t, self.ccs,
                               self.scheme, self.dp)
 
@@ -257,20 +258,34 @@ class ZkVmProver:
                 w_acc=state.w_acc,
                 trace=trace,
             )
+            def mark(name, _t=[t0]):
+                now = time.time()
+                self.timings.setdefault(name, []).append(now - _t[0])
+                if self.log:
+                    self.log(f" step.{name}: {now-_t[0]:.2f}s")
+                _t[0] = now
+
             z = arithmetize(inp, self.layout)
+            mark("arithmetize")
             if self.debug:
                 self._check_relation(z, trace)
+                mark("relation_check")
             cm_i, w_i = self.commit_z(z)
+            mark("commit_z")
             folded_acc, folded_w, proof = self.fold(state.acc, state.w_acc,
                                                     cm_i, w_i)
+            mark("fold_total")
             if self.debug:
                 self.verify_fold(state.acc, cm_i, proof)
+                mark("native_verify")
             fvars = generate_verification_witness_vars(
                 state.acc, cm_i, proof, self.ccs, self.dp, Transcript)
+            mark("collector")
 
             state_i_comm = self._state_comm(code_comm, trace.output.pc,
                                             mem_comm, trace.output.regs,
                                             mem_ops_comm)
+            mark("state_comms")
             acc_comm = committer.acc_comm(folded_acc)
             step_comm = committer.ivc_step_comm(step, state.z_0_comm,
                                                 state_i_comm, acc_comm)
