@@ -45,6 +45,9 @@ class DeviceNifs:
         # shrinking-buffer sum-check (one cached compile per round shape)
         # vs fixed-buffer (one compile, 2x work, interleave temps)
         self.shrink = True
+        # fulldev: ALL rounds + the duplex challenger in ONE jit dispatch
+        # (accel_fs) — eliminates the 2-RTT-per-round host loop
+        self.fulldev = True
         with B.jax_mode():
             self.ajtai_rows = engine.put(gl.from_int(
                 np.array(ajtai_rows, dtype=object)))
@@ -86,8 +89,13 @@ class DeviceNifs:
         g_t = g_dev if (already_t or is_parts) \
             else self._accel_t.to_t_layout(self.e, g_dev)
         del g_dev
-        runner = (self._accel_t.run_sumcheck_shrink if self.shrink
-                  else self._accel_t.run_sumcheck_fixed)
+        if self.fulldev:
+            from . import accel_fs
+            runner = accel_fs.run_sumcheck_fulldev
+        elif self.shrink:
+            runner = self._accel_t.run_sumcheck_shrink
+        else:
+            runner = self._accel_t.run_sumcheck_fixed
         return runner(
             self.e, transcript, g_t, nv, degree, key, comb_t, consts_dev,
             eq_info_rev=eq_info, log=log)
@@ -108,6 +116,84 @@ class DeviceNifs:
             int(np.log2(npad)) if npad > 1 else 0))
         return (B.xp.moveaxis(f_hat[0], -2, -1)[..., brev],
                 B.xp.moveaxis(f_hat[1], -2, -1)[..., brev])
+
+    def _fhat_batched(self, f_coeff):
+        """Batched build_fhat over a leading K axis: (K, nf, 24) ->
+        (K, TAU, npad, 24) std or (K, TAU, 24, npad) bit-reversed t-layout."""
+        lo, hi = f_coeff
+        Kb, nf = lo.shape[0], lo.shape[1]
+        npad = 1 << (nf - 1).bit_length() if nf > 1 else 1
+        cl = B.xp.moveaxis(lo.reshape(Kb, nf, TAU, 8), 1, 2)
+        ch = B.xp.moveaxis(hi.reshape(Kb, nf, TAU, 8), 1, 2)
+        ol = B.xp.zeros((Kb, TAU, npad, 8, 3), np.uint32)
+        oh = B.xp.zeros((Kb, TAU, npad, 8, 3), np.uint32)
+        idx = (slice(None), slice(None), slice(0, nf), slice(None), 0)
+        ol = B.at_set(ol, idx, cl).reshape(Kb, TAU, npad, 24)
+        oh = B.at_set(oh, idx, ch).reshape(Kb, TAU, npad, 24)
+        if not self.t_layout:
+            return ol, oh
+        from .accel_t import bitrev_indices
+        brev = B.xp.asarray(bitrev_indices(
+            int(np.log2(npad)) if npad > 1 else 0))
+        return (B.xp.moveaxis(ol, -2, -1)[..., brev],
+                B.xp.moveaxis(oh, -2, -1)[..., brev])
+
+    def _eval_fhat_batched(self, fhat_b, eq_dev):
+        """<f_hat, eq> claims for a (K, TAU, ...) batched f_hat stack via an
+        on-device fori over K (bounds the transient to one witness)."""
+        import jax
+
+        def fn(fh, e):
+            Kb = fh[0].shape[0]
+            out0 = B.xp.zeros((Kb, TAU, 24), np.uint32)
+            out1 = B.xp.zeros((Kb, TAU, 24), np.uint32)
+
+            def body(k, out):
+                f_k = (fh[0][k], fh[1][k])
+                if self.t_layout:
+                    prod = rq.ntt_mul_t(f_k, (e[0][None], e[1][None]))
+                    v = gl.sum_axis(prod, axis=-1)
+                else:
+                    prod = rq.ntt_mul(f_k, (e[0][None], e[1][None]))
+                    v = gl.sum_axis(prod, axis=-2)
+                return (out[0].at[k].set(v[0]), out[1].at[k].set(v[1]))
+
+            return jax.lax.fori_loop(0, Kb, body, (out0, out1))
+
+        kb = int(fhat_b[0].shape[0])
+        jf = self.e._jit(("evalfhat_b", kb, self.t_layout,
+                          int(fhat_b[0].shape[-1])), fn)
+        with B.jax_mode():
+            out = jf(fhat_b, eq_dev)
+        ints = gl.to_int(self.e.get(out))
+        return [[[int(v) for v in row] for row in ints[k]]
+                for k in range(ints.shape[0])]
+
+    def eval_claims_batched(self, eqT_dev, z_stack):
+        """u-claims for a (K, n, 24) stacked z against the (t, n, 24) eqT,
+        fori over K on device -> K lists of t rings."""
+        import jax
+
+        def fn(w, zs):
+            Kb = zs[0].shape[0]
+            t_ = w[0].shape[0]
+            out0 = B.xp.zeros((Kb, t_, 24), np.uint32)
+            out1 = B.xp.zeros((Kb, t_, 24), np.uint32)
+
+            def body(k, out):
+                prod = rq.ntt_mul(w, (zs[0][k][None], zs[1][k][None]))
+                u = gl.sum_axis(prod, axis=-2)
+                return (out[0].at[k].set(u[0]), out[1].at[k].set(u[1]))
+
+            return jax.lax.fori_loop(0, Kb, body, (out0, out1))
+
+        kb = int(z_stack[0].shape[0])
+        jf = self.e._jit(("evalclaims_b", kb), fn)
+        with B.jax_mode():
+            out = jf(eqT_dev, z_stack)
+        ints = gl.to_int(self.e.get(out))
+        return [[[int(v) for v in row] for row in ints[k]]
+                for k in range(ints.shape[0])]
 
     def build_witness(self, w_dev):
         """w_ccs (nw, 24) device -> DeviceWitness (jitted pipeline)."""
@@ -156,6 +242,20 @@ class DeviceNifs:
         ints = gl.to_int(self.e.get(cm))
         return [[int(v) for v in r] for r in ints]
 
+
+    @staticmethod
+    def _marker(log, prefix):
+        """Phase-boundary logger for profiling (no-op when log is None)."""
+        import time
+        state = [time.time()]
+
+        def mark(name):
+            now = time.time()
+            if log:
+                log(f"    {prefix}.{name}: {now-state[0]:.2f}s")
+            state[0] = now
+        return mark
+
     # -- linearization ----------------------------------------------------
     def lin_prove(self, cm_i: CCCS, wit: DeviceWitness, transcript, log=None):
         ccs = self.ccs
@@ -167,11 +267,13 @@ class DeviceNifs:
         with B.jax_mode():
             z_dev = (B.xp.concatenate([self.e.put(head)[0], wit.w_ccs[0]]),
                      B.xp.concatenate([self.e.put(head)[1], wit.w_ccs[1]]))
+        mark = self._marker(log, "lin")
         if self.t_layout:
             # g emitted directly transposed + bit-reversed inside one jit:
             # avoids the (t+1, m, 24) standard-layout stack AND its
             # to_t_layout copy (2x ~3 GB at production scale)
             g = self.lin_g_t(z_dev, beta_s)
+            mark("g_build")
         else:
             mz = self.e.matvecs(z_dev, self._cap_pow2)
             eq_dev = self.e.eq_table(beta_s, self._cap_pow2)
@@ -184,8 +286,10 @@ class DeviceNifs:
             getattr(self, "_lin_comb_t", None), self._lin_consts_dev,
             eq_info=(beta_s, ccs.t), log=log, already_t=self.t_layout)
         del g
+        mark("sumcheck")
         eq_r = self._eq_for_eval(chals, wit.f_hat)
         v = self._eval_fhat(wit.f_hat, eq_r)
+        mark("v_evals")
         # u_j = mle[M_j z](r) = the final folded sum-check values (rows 0..t)
         u_ints = gl.to_int((final[0][:ccs.t], final[1][:ccs.t]))
         u = [[int(x) for x in row] for row in u_ints]
@@ -250,23 +354,39 @@ class DeviceNifs:
         ccs = self.ccs
         point = [H.ntt_slots(r)[0] for r in cm_i.r]
 
-        # split f_coeff into K small witnesses on device
-        def split_fn(f_coeff):
-            ks = dc.decompose_vec_into_k_vecs(f_coeff, p.B_SMALL, p.K)
-            return ks
-
+        mark = self._marker(log, "dec")
         nf = int(wit.f_coeff[0].shape[0])
-        jf = self.e._jit(("split", nf), split_fn)
+        Bp, L = p.B, p.L
+
+        def batch_fn(f_coeff):
+            ks = dc.decompose_vec_into_k_vecs(f_coeff, p.B_SMALL, p.K)
+            f = rq.crt(ks)                          # (K, nf, 24)
+            w = dc.gadget_recompose(f, Bp, L)       # (K, nw, 24)
+            f_hat = self._fhat_batched(ks)          # (K, TAU, ...)
+            # row-constant Ajtai commits for k >= 1 in the same jit
+            total = gl.sum_axis((f[0][1:], f[1][1:]), axis=-2)  # (K-1, 24)
+            cms = rq.ntt_mul(
+                (self.ajtai_rows[0][None], self.ajtai_rows[1][None]),
+                (total[0][:, None], total[1][:, None]))  # (K-1, kappa, 24)
+            return ks, f, w, f_hat, cms
+
+        jf = self.e._jit(("dec_batch", nf, self.t_layout), batch_fn)
         with B.jax_mode():
-            ks = jf(wit.f_coeff)
-        wit_s = [self.witness_from_f_coeff((ks[0][k], ks[1][k]))
+            ks, f_b, w_b, fhat_b, cms = jf(wit.f_coeff)
+        wit_s = [DeviceWitness((w_b[0][k], w_b[1][k]),
+                               (ks[0][k], ks[1][k]),
+                               (f_b[0][k], f_b[1][k]),
+                               (fhat_b[0][k], fhat_b[1][k]))
                  for k in range(p.K)]
+        mark("witnesses")
 
         with B.numpy_mode():
             x_s = dec.compute_x_s(cm_i.x_w, cm_i.h, p)
 
-        # commitments: y_0 reconstructed
-        ys_tail = [self.commit(w.f) for w in wit_s[1:]]
+        # commitments: y_0 reconstructed from cm_i.cm and the k>=1 commits
+        cm_ints = gl.to_int(self.e.get(cms))
+        ys_tail = [[[int(v) for v in r] for r in cm_ints[k]]
+                   for k in range(p.K - 1)]
         with B.numpy_mode():
             acc = [[0] * 24 for _ in range(len(cm_i.cm))]
             for y in reversed(ys_tail):
@@ -275,23 +395,30 @@ class DeviceNifs:
                        for a, yi in zip(acc, y)]
             y0 = [H.ntt_sub(list(c), a) for c, a in zip(cm_i.cm, acc)]
         y_s = [y0] + ys_tail
+        mark("commits")
 
-        eq_r = self._eq_for_eval(point, wit_s[0].f_hat)
-        v_s = [self._eval_fhat(w.f_hat, eq_r) for w in wit_s]
+        eq_r = self._eq_for_eval(point, (fhat_b[0][0], fhat_b[1][0]))
+        v_s = self._eval_fhat_batched(fhat_b, eq_r)
+        mark("v_evals")
 
         eqT = self.eqT(point)
-        z_s = []
-        u_s = []
-        for k in range(p.K):
-            with B.numpy_mode():
-                head = gl.from_int(np.array(
-                    [list(v) for v in x_s[k]], dtype=object))
-            hd = self.e.put(head)
-            with B.jax_mode():
-                z = (B.xp.concatenate([hd[0], wit_s[k].w_ccs[0]]),
-                     B.xp.concatenate([hd[1], wit_s[k].w_ccs[1]]))
-            z_s.append(z)
-            u_s.append(self.eval_claims(eqT, z))
+        mark("eqT")
+        with B.numpy_mode():
+            heads = gl.from_int(np.array(
+                [[list(v) for v in x_s[k]] for k in range(p.K)],
+                dtype=object))                       # (K, l+1, 24)
+        hd = self.e.put(heads)
+
+        def z_fn(h, w):
+            return (B.xp.concatenate([h[0], w[0]], axis=1),
+                    B.xp.concatenate([h[1], w[1]], axis=1))
+
+        zjf = self.e._jit(("z_stack", p.K), z_fn)
+        with B.jax_mode():
+            z_b = zjf(hd, w_b)                       # (K, n, 24)
+        z_s = [(z_b[0][k], z_b[1][k]) for k in range(p.K)]
+        u_s = self.eval_claims_batched(eqT, z_b)
+        mark("u_evals")
 
         lcccs_s = []
         for k in range(p.K):
@@ -303,7 +430,8 @@ class DeviceNifs:
                                  cm=y_s[k], u=u_s[k], x_w=x_s[k][:-1],
                                  h=x_s[k][-1]))
         proof = {"u_s": u_s, "v_s": v_s, "x_s": x_s, "y_s": y_s}
-        return z_s, lcccs_s, wit_s, proof
+        batch = {"f": f_b, "fhat": fhat_b, "z": z_b}
+        return z_s, lcccs_s, wit_s, proof, batch
 
     def _eq_for_eval(self, point, f_hat):
         """eq table matching f_hat's layout (std (npad, 24) or t-layout
@@ -377,7 +505,8 @@ class DeviceNifs:
         return [[int(v) for v in r] for r in ints]
 
     # -- folding ----------------------------------------------------------
-    def fold_prove(self, cm_i_s, wit_s, transcript, z_s, log=None):
+    def fold_prove(self, cm_i_s, wit_s, transcript, z_s, log=None,
+                   batches=None):
         p, ccs = self.p, self.ccs
         K, b_small = p.K, p.B_SMALL
         log_m = ccs.s
@@ -387,19 +516,42 @@ class DeviceNifs:
         # assemble the fold g: the f_hat tail + the 5-row head.  Witness
         # f_hats are freed as they are consumed; w_ccs is dead after the
         # z_s capture in dec_prove.
+        mark = self._marker(log, "fold")
         for w in wit_s:
             w.w_ccs = None
+        zs_stack = None
+        if batches is not None:
+            with B.jax_mode():
+                zs_stack = (
+                    B.xp.concatenate([batches[0]["z"][0],
+                                      batches[1]["z"][0]]),
+                    B.xp.concatenate([batches[0]["z"][1],
+                                      batches[1]["z"][1]]))
         if self.t_layout:
             # f_hats are BORN t-layout -> the tail is a pure concatenation
+            # (a reshape of the two batched dec stacks when available)
             with B.jax_mode():
-                tail = (B.xp.concatenate([w.f_hat[0] for w in wit_s]),
-                        B.xp.concatenate([w.f_hat[1] for w in wit_s]))
+                if batches is not None:
+                    m_ = batches[0]["fhat"][0].shape[-1]
+                    tail = (B.xp.concatenate(
+                                [batches[0]["fhat"][0],
+                                 batches[1]["fhat"][0]]).reshape(
+                                     -1, 24, m_),
+                            B.xp.concatenate(
+                                [batches[0]["fhat"][1],
+                                 batches[1]["fhat"][1]]).reshape(
+                                     -1, 24, m_))
+                else:
+                    tail = (B.xp.concatenate([w.f_hat[0] for w in wit_s]),
+                            B.xp.concatenate([w.f_hat[1] for w in wit_s]))
             for w in wit_s:
                 w.f_hat = None
                 w.f_coeff = None
+            mark("tail_concat")
             head = self._build_head(tail, z_s, cm_i_s, alpha_s, zeta_s,
-                                    beta_s, K)
+                                    beta_s, K, zs_stack=zs_stack)
             g = (head, tail)
+            mark("head_build")
         else:
             with B.jax_mode():
                 fhats = (B.xp.stack([w.f_hat[0] for w in wit_s]),
@@ -416,6 +568,7 @@ class DeviceNifs:
             getattr(self, "_fold_comb_t", None), self.e.put(mu_c), log=log,
             already_t=self.t_layout)
         del g
+        mark("sumcheck")
         r_0 = chals
 
         # theta_s = mle[f_hat](r_0): rows 5.. of the sum-check's final
@@ -426,7 +579,12 @@ class DeviceNifs:
         theta_s = [theta_flat[i * TAU:(i + 1) * TAU]
                    for i in range(2 * K)]
         eqT_r0 = self.eqT(r_0)
-        eta_s = [self.eval_claims(eqT_r0, z) for z in z_s]
+        mark("eqT")
+        if zs_stack is not None:
+            eta_s = self.eval_claims_batched(eqT_r0, zs_stack)
+        else:
+            eta_s = [self.eval_claims(eqT_r0, z) for z in z_s]
+        mark("eta_evals")
         for th in theta_s:
             transcript.absorb_slice(th)
         for et in eta_s:
@@ -439,22 +597,31 @@ class DeviceNifs:
             return gl.sum_axis(prod, axis=0)
 
         with B.jax_mode():
-            fs = (B.xp.stack([w.f[0] for w in wit_s]),
-                  B.xp.stack([w.f[1] for w in wit_s]))
+            if batches is not None:
+                fs = (B.xp.concatenate([batches[0]["f"][0],
+                                        batches[1]["f"][0]]),
+                      B.xp.concatenate([batches[0]["f"][1],
+                                        batches[1]["f"][1]]))
+            else:
+                fs = (B.xp.stack([w.f[0] for w in wit_s]),
+                      B.xp.stack([w.f[1] for w in wit_s]))
         with B.numpy_mode():
             rh = gl.from_int(np.array([[list(r)] for r in rho_ntt],
                                       dtype=object))  # (2K, 1, 24)
         jf = self.e._jit(("f0",), f0_fn)
         with B.jax_mode():
             f0 = jf(fs, self.e.put(rh))
+        mark("f0")
 
         with B.numpy_mode():
             v_0, cm_0, u_0, x_0 = fold.compute_v0_u0_x0_cm0(
                 rho_coeff, rho_ntt, theta_s, cm_i_s, eta_s, ccs)
+        mark("v0_u0_host")
         h = x_0[-1]
         lcccs = LCCCS(r=[H.ntt_from_fq3(c) for c in r_0], v=v_0, cm=cm_0,
                       u=u_0, x_w=x_0[:-1], h=h)
         w_0 = self.witness_from_f(f0)
+        mark("w0_build")
         proof = {"sumcheck": proof_sc, "theta_s": theta_s, "eta_s": eta_s}
         return lcccs, w_0, proof
 
@@ -628,7 +795,8 @@ class DeviceNifs:
 
         return fn
 
-    def _build_head(self, tail, z_s, cm_i_s, alpha_s, zeta_s, beta_s, K):
+    def _build_head(self, tail, z_s, cm_i_s, alpha_s, zeta_s, beta_s, K,
+                    zs_stack=None):
         """The 5-row fold head [eq_r1, c1, eq_r2, c2, eq_beta] in t-layout
         (5, 24, m), built in one jit that READS the already-t-layout tail:
 
@@ -713,8 +881,9 @@ class DeviceNifs:
                     B.xp.stack([e1[1], c1[1], e2[1], c2[1], eb[1]]))
 
         with B.jax_mode():
-            zs = (B.xp.stack([z[0] for z in z_s]),
-                  B.xp.stack([z[1] for z in z_s]))
+            zs = zs_stack if zs_stack is not None else (
+                B.xp.stack([z[0] for z in z_s]),
+                B.xp.stack([z[1] for z in z_s]))
         jf = self.e._jit(("build_head",), fn)
         with B.jax_mode():
             return jf(tail, zs, eq_r1, eq_r2, eq_b,
@@ -740,14 +909,15 @@ class DeviceNifs:
         linearized, lin_proof, _ = self.lin_prove(cm_i, w_i, transcript,
                                                   log=log)
         mark("lin")
-        z_l, lc_l, ws_l, dp_l = self.dec_prove(acc, w_acc, transcript,
-                                               log=log)
+        z_l, lc_l, ws_l, dp_l, b_l = self.dec_prove(acc, w_acc, transcript,
+                                                     log=log)
         mark("dec_l")
-        z_r, lc_r, ws_r, dp_r = self.dec_prove(linearized, w_i, transcript,
-                                               log=log)
+        z_r, lc_r, ws_r, dp_r, b_r = self.dec_prove(linearized, w_i,
+                                                    transcript, log=log)
         mark("dec_r")
         folded, w0, fp = self.fold_prove(lc_l + lc_r, ws_l + ws_r,
-                                         transcript, z_l + z_r, log=log)
+                                         transcript, z_l + z_r, log=log,
+                                         batches=(b_l, b_r))
         mark("fold")
         proof = {"linearization": lin_proof, "decomposition_l": dp_l,
                  "decomposition_r": dp_r, "folding": fp}

@@ -606,12 +606,11 @@ def run_sumcheck_shrink(engine, transcript, mles_t, nv, degree, comb_key,
 
     final = None
     if rounds_done < nv:
-        hosts = [engine.get(p) for p in parts]
-        act = (np.concatenate([h[0] for h in hosts]),
-               np.concatenate([h[1] for h in hosts]))
-        tail_proof, tail_chals, final = _host_tail_from_t(
-            engine, transcript, act, nv, rounds_done, degree, comb_key,
-            consts_dev, eq_info_rev, chals)
+        hosts = [tuple(np.asarray(a) for a in engine.get(p))
+                 for p in parts]
+        tail_proof, tail_chals, final = _host_tail_t(
+            engine, transcript, hosts, nv, rounds_done, degree, comb_key,
+            part_comb, consts_dev, eq_info_rev, chals, log=log)
         proof.extend(tail_proof)
         chals.extend(tail_chals)
     else:
@@ -623,6 +622,52 @@ def run_sumcheck_shrink(engine, transcript, mles_t, nv, degree, comb_key,
     final = (np.asarray(final[0]).reshape(-1, 24),
              np.asarray(final[1]).reshape(-1, 24))
     return proof, chals, final
+
+
+def _host_tail_t(engine, transcript, parts, nv, rounds_done, degree,
+                 comb_key, part_comb, consts_dev, eq_info_rev, chals,
+                 log=None):
+    """Host tail IN t-layout with the BATCHED comb (numpy backend): one comb
+    call per eval point per round instead of the std comb's per-instance
+    loops (which cost ~15 s/step at production scale).  Falls back to the
+    std-layout tail only for the truncated-MLE reconstruction rounds (the
+    lin path's lazy-trunc eq rebuild) once the arrays are exhausted."""
+    import time
+    consts_host = engine.jax.tree_util.tree_map(np.asarray, consts_dev)
+    proof, out_chals = [], []
+    with B.numpy_mode():
+        while rounds_done < nv and parts[0][0].shape[-1] > 1:
+            t0 = time.time()
+            sums = sumcheck_sums_parts(parts, degree, part_comb, consts_host)
+            ints = gl.to_int(sums)
+            msg = [[int(v) for v in row] for row in ints]
+            transcript.absorb_slice(msg)
+            proof.append(msg)
+            r = transcript.get_challenge()
+            transcript.absorb_fq3(r)
+            out_chals.append(r)
+            r_limbs = mle_mod.fq3_const(r)
+            flat = [a for p in parts for a in p]
+            parts = list(fold_shrink_parts(r_limbs, *flat))
+            rounds_done += 1
+            if log:
+                log(f"host round {rounds_done-1}: {time.time()-t0:.2f}s")
+    if rounds_done < nv:
+        # arrays exhausted before nv (truncated MLEs): reconstruction
+        # rounds via the std-layout numpy tail
+        act = (np.concatenate([np.asarray(p[0]) for p in parts]),
+               np.concatenate([np.asarray(p[1]) for p in parts]))
+        tp, tc, final = _host_tail_from_t(
+            engine, transcript, act, nv, rounds_done, degree, comb_key,
+            consts_dev, eq_info_rev, list(chals) + out_chals)
+        proof.extend(tp)
+        out_chals.extend(tc)
+    else:
+        final = (np.concatenate([np.asarray(p[0][..., 0]).reshape(-1, 24)
+                                 for p in parts]),
+                 np.concatenate([np.asarray(p[1][..., 0]).reshape(-1, 24)
+                                 for p in parts]))
+    return proof, out_chals, final
 
 
 def _host_tail_from_t(engine, transcript, cur_host, nv, rounds_done, degree,
