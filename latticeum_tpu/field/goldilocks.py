@@ -237,6 +237,16 @@ def mul(a, b):
     return reduce128(*_mul64_full(alo, ahi, blo, bhi))
 
 
+def mul_2e40(a):
+    """x * 2^40 mod p as a word shift + one reduce128 (~3x cheaper than a
+    full mul) — the Fq3 nonresidue W = 2^40 multiply in every Fq3 product."""
+    lo, hi = a
+    r1 = lo << np.uint32(8)
+    r2 = (lo >> np.uint32(24)) | (hi << np.uint32(8))
+    r3 = hi >> np.uint32(24)
+    return reduce128(B.xp.zeros_like(lo), r1, r2, r3)
+
+
 def mul_const(a, c: int):
     """Multiply by a host-known constant (still a full mul; kept for clarity)."""
     lo, hi = a

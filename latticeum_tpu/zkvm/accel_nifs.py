@@ -358,7 +358,13 @@ class DeviceNifs:
         nf = int(wit.f_coeff[0].shape[0])
         Bp, L = p.B, p.L
 
-        def batch_fn(f_coeff):
+        # b_small^k weights for the on-device y_0 reconstruction
+        with B.numpy_mode():
+            bpows = gl.from_int(np.array(
+                [pow(p.B_SMALL, k, H.P) for k in range(1, p.K)],
+                dtype=object))
+
+        def batch_fn(f_coeff, cm_dev, bp):
             ks = dc.decompose_vec_into_k_vecs(f_coeff, p.B_SMALL, p.K)
             f = rq.crt(ks)                          # (K, nf, 24)
             w = dc.gadget_recompose(f, Bp, L)       # (K, nw, 24)
@@ -368,11 +374,18 @@ class DeviceNifs:
             cms = rq.ntt_mul(
                 (self.ajtai_rows[0][None], self.ajtai_rows[1][None]),
                 (total[0][:, None], total[1][:, None]))  # (K-1, kappa, 24)
-            return ks, f, w, f_hat, cms
+            # y_0 = cm - sum_k b^k y_k (decomposition.rs recomposition)
+            acc = gl.mul((bp[0][:, None, None], bp[1][:, None, None]), cms)
+            y0 = gl.sub(cm_dev, gl.sum_axis(acc, axis=0))
+            return ks, f, w, f_hat, cms, y0
 
+        with B.numpy_mode():
+            cm_host = gl.from_int(np.array([list(c) for c in cm_i.cm],
+                                           dtype=object))
         jf = self.e._jit(("dec_batch", nf, self.t_layout), batch_fn)
         with B.jax_mode():
-            ks, f_b, w_b, fhat_b, cms = jf(wit.f_coeff)
+            ks, f_b, w_b, fhat_b, cms, y0_dev = jf(
+                wit.f_coeff, self.e.put(cm_host), self.e.put(bpows))
         wit_s = [DeviceWitness((w_b[0][k], w_b[1][k]),
                                (ks[0][k], ks[1][k]),
                                (f_b[0][k], f_b[1][k]),
@@ -383,18 +396,14 @@ class DeviceNifs:
         with B.numpy_mode():
             x_s = dec.compute_x_s(cm_i.x_w, cm_i.h, p)
 
-        # commitments: y_0 reconstructed from cm_i.cm and the k>=1 commits
-        cm_ints = gl.to_int(self.e.get(cms))
-        ys_tail = [[[int(v) for v in r] for r in cm_ints[k]]
-                   for k in range(p.K - 1)]
-        with B.numpy_mode():
-            acc = [[0] * 24 for _ in range(len(cm_i.cm))]
-            for y in reversed(ys_tail):
-                acc = [H.ntt_scalar_mul(H.ntt_add(a, yi),
-                                        H.fq3_scalar(p.B_SMALL))
-                       for a, yi in zip(acc, y)]
-            y0 = [H.ntt_sub(list(c), a) for c, a in zip(cm_i.cm, acc)]
-        y_s = [y0] + ys_tail
+        # commitments: y_0 reconstructed on device in the same jit
+        cm_ints = gl.to_int((
+            np.concatenate([np.asarray(y0_dev[0])[None],
+                            np.asarray(cms[0])], axis=0),
+            np.concatenate([np.asarray(y0_dev[1])[None],
+                            np.asarray(cms[1])], axis=0)))
+        y_s = [[[int(v) for v in r] for r in cm_ints[k]]
+               for k in range(p.K)]
         mark("commits")
 
         eq_r = self._eq_for_eval(point, (fhat_b[0][0], fhat_b[1][0]))
