@@ -125,6 +125,62 @@ def bench_nifs(grid, reps=1):
              unit="s", proof_elems=nifs.proof_size_elements(eproof))
 
 
+def bench_nifs_device(grid, reps=1):
+    """Device (TPU) NIFS grid: the full fold (lin + 2x dec + fold) through
+    DeviceNifs at each config — first pass compiles, second is steady-state.
+    Emits per-subprotocol splits from the prover's own phase markers."""
+    import numpy as np
+    from latticeum_tpu import backend as B
+    from latticeum_tpu.commit.ajtai import AjtaiScheme
+    from latticeum_tpu.crypto.transcript import Transcript
+    from latticeum_tpu.field import goldilocks as gl, host as H
+    from latticeum_tpu.nifs import linearization as lin
+    from latticeum_tpu.nifs.nifs import DecompositionParams
+    from latticeum_tpu.nifs.structs import CCCS
+    from latticeum_tpu.nifs.test_fixtures import get_dummy_ccs, get_dummy_z
+    from latticeum_tpu.zkvm.accel import DeviceEngine
+    from latticeum_tpu.zkvm.accel_nifs import DeviceNifs
+
+    B.use_jax()
+    for (x_len, kappa, wit_len, B_, L, b_small, K) in grid:
+        cfg = f"x{x_len}_k{kappa}_n{wit_len}_B{B_}_L{L}_K{K}"
+        params = DecompositionParams(B=B_, L=L, B_SMALL=b_small, K=K)
+        ccs = get_dummy_ccs(x_len, wit_len, L)
+        z = get_dummy_z(x_len, wit_len)
+        w_limbs = gl.from_int(np.array(z[x_len + 1:], dtype=object))
+        engine = DeviceEngine(ccs, params, tail_threshold=512)
+        n_ajtai = wit_len * L
+        scheme = AjtaiScheme.from_seed(kappa=kappa, n=n_ajtai,
+                                       row_constant=True)
+        rows_host = [[int(v) for v in r] for r in gl.to_int(
+            (np.asarray(scheme.rows_limbs[0]),
+             np.asarray(scheme.rows_limbs[1])))]
+        dn = DeviceNifs(engine, ccs, params, rows_host, t_layout=True)
+
+        dt, wit = timed(lambda: dn.build_witness(engine.put(w_limbs)))
+        emit(suite="nifs-device", config=cfg, op="witness_build",
+             value=round(dt, 5), unit="s", n=n_ajtai)
+        dt, cm = timed(lambda: dn.commit(wit.f))
+        emit(suite="nifs-device", config=cfg, op="ajtai_commit",
+             value=round(dt, 5), unit="s", n=n_ajtai, kappa=kappa)
+
+        cm_i = CCCS(cm=cm, x_ccs=z[:x_len])
+        nw = ccs.n - ccs.l - 1
+        w0 = dn.build_witness(engine.put(gl.zeros((nw, 24))))
+        acc, _, _ = dn.lin_prove(
+            CCCS(cm=dn.commit(w0.f), x_ccs=[H.ntt_zero()] * x_len),
+            w0, Transcript())
+        for it in range(2):
+            timings = {}
+            t0 = time.time()
+            dn.prove(acc, w0, cm_i, wit, Transcript(), timings=timings)
+            dt = time.time() - t0
+            emit(suite="nifs-device", config=cfg,
+                 op="e2e_prove" + ("_compile" if it == 0 else ""),
+                 value=round(dt, 5), unit="s",
+                 **{k: round(v[-1], 5) for k, v in timings.items()})
+
+
 def bench_poseidon2(chain_steps=1000, wide_batch=8192):
     """BASELINE config: 1k-step Poseidon2 chain (the per-step state-digest
     chain) + one wide batched permutation sweep (the Merkle page workload)."""
@@ -207,7 +263,10 @@ def main():
     for s in suites:
         if s == "nifs":
             grid = GOLDILOCKS_GRID if "--all" in args else SMALL_GRID
-            bench_nifs(grid)
+            if device:
+                bench_nifs_device(grid)
+            else:
+                bench_nifs(grid)
         elif s == "poseidon2":
             bench_poseidon2()
         elif s == "guest-mem":

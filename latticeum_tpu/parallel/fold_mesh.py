@@ -47,9 +47,13 @@ def _mk_g(m: int, K: int, TAU: int = 3, seed: int = 11):
     return draw(5), draw(2 * K * TAU)
 
 
-def run_fold_sumcheck(engine, parts_dev, m, K, b_small=2, log=None):
+def run_fold_sumcheck(engine, parts_dev, m, K, b_small=2, log=None,
+                      fixed=False):
     """One full transcripted fold sum-check over whatever sharding
-    `parts_dev` carries.  Returns (proof, chals, final, transcript_state)."""
+    `parts_dev` carries.  Returns (proof, chals, final, transcript_state).
+
+    fixed=True uses the fixed-buffer runner (ONE compiled shape instead of
+    one per round — the cheapest compile bill for driver dryruns)."""
     from ..crypto.transcript import Transcript
     from ..nifs import folding as fold
     from ..zkvm import accel_t
@@ -63,7 +67,9 @@ def run_fold_sumcheck(engine, parts_dev, m, K, b_small=2, log=None):
         _, _, _, mu_s = fold.squeeze_alpha_beta_zeta_mu(Transcript(), nv, K)
         mu_c = fold.mu_consts(mu_s)
     t = Transcript()
-    proof, chals, final = accel_t.run_sumcheck_shrink(
+    runner = accel_t.run_sumcheck_fixed if fixed \
+        else accel_t.run_sumcheck_shrink
+    proof, chals, final = runner(
         engine, t, parts_dev, nv, 2 * b_small, "fold_mesh", comb,
         engine.put_small(mu_c), log=log)
     return proof, chals, final, t.ch.state
@@ -93,6 +99,49 @@ def count_collectives(engine, parts_sharded, m, K, b_small=2):
     return {kind: txt.count(f" {kind}(") + txt.count(f" {kind}-start(")
             for kind in ("all-reduce", "all-gather", "reduce-scatter",
                          "collective-permute")}
+
+
+def sharded_dryrun(n_devices: int, m: int = 1 << 10, K: int = 15,
+                   b_small: int = 2, tail: int = 256, log=None):
+    """Budgeted multichip check: ONE rows-sharded production fold sum-check
+    (no single-device reference leg, no collective-count compile — those
+    doubled the compile bill and timed out the round-2 driver run), run
+    with the FIXED-buffer kernels so exactly one sums + one fold shape
+    compiles (local XLA:CPU compiles of the per-round-shape variant took
+    >15 min on a machine without the remote-compile tunnel).
+
+    Correctness is checked via the sum-check chain invariant instead of a
+    duplicate run: for every round i >= 1,
+        p_i(0) + p_i(1) == interpolate(p_{i-1}, r_{i-1})
+    (sumcheck/verifier.rs:48-145's round check) — any sharding corruption,
+    stale-cache executable, or transcript divergence breaks the chain.
+    Bit-exactness vs the single-device run is covered by the pytest
+    (tests/test_fold_mesh.py) at the same kernels."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from . import mesh as M
+    from ..field import host as H
+    from ..poly.sumcheck import interpolate_uni_poly
+
+    engine = _mk_engine(tail)
+    head_h, tail_h = _mk_g(m, K)
+    mesh = M.make_mesh(n_devices)
+    sh = NamedSharding(mesh, P(None, None, "rows"))
+    parts_n = [tuple(jax.device_put(a, sh) for a in head_h),
+               tuple(jax.device_put(a, sh) for a in tail_h)]
+    proof, chals, final, _ = run_fold_sumcheck(engine, parts_n, m, K,
+                                               b_small, log=log, fixed=True)
+    nv = int(np.log2(m))
+    assert len(proof) == nv and len(chals) == nv, (len(proof), len(chals))
+    chain_ok = 0
+    with B.numpy_mode():
+        for i in range(1, nv):
+            expected = interpolate_uni_poly(proof[i - 1], chals[i - 1])
+            got = H.ntt_add(proof[i][0], proof[i][1])
+            assert got == expected, f"sum-check chain broke at round {i}"
+            chain_ok += 1
+    return {"m": m, "K": K, "mles": 5 + 6 * K, "devices": n_devices,
+            "rounds_total": nv, "chain_checks_ok": chain_ok}
 
 
 def sharded_vs_single(n_devices: int, m: int = 1 << 13, K: int = 15,

@@ -22,13 +22,36 @@ from ..field import goldilocks as gl
 from ..ring import rq
 
 
+def _machine_fingerprint() -> str:
+    """Short stable id of THIS machine's CPU feature set.  XLA:CPU AOT
+    artifacts are compiled for the build host's exact feature flags; loading
+    them on a different machine aborts with 'Compile machine features ... vs
+    host machine features' (the MULTICHIP_r02 timeout).  Keying the cache dir
+    by the fingerprint makes cross-machine cache poisoning impossible."""
+    import hashlib
+    import platform
+    feats = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    feats += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(feats.encode()).hexdigest()[:10]
+
+
 def _ensure_cache():
-    """Persistent compile cache, keyed per backend platform (a cache shared
-    between the axon remote-compile target and the local CPU loads AOT
-    artifacts for the wrong machine)."""
+    """Persistent compile cache, keyed by backend platform + machine
+    fingerprint (platform alone let the axon remote-compile target and
+    local-CPU runs on different machines poison each other's AOT blobs)."""
     import jax
     plat = jax.default_backend()
-    cache = f"/tmp/latticeum_jax_cache_{plat}"
+    # Only XLA:CPU emits machine-specific AOT blobs; TPU/axon executables
+    # target the chip, so their cache stays portable across hosts.
+    suffix = f"_{_machine_fingerprint()}" if plat == "cpu" else ""
+    cache = f"/tmp/latticeum_jax_cache_{plat}{suffix}"
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
     except Exception:
