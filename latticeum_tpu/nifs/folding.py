@@ -193,6 +193,75 @@ def rot_lin_combination(rho_s_coeff, theta_s):
     return out
 
 
+def rot_matrices(rho_s_coeff):
+    """(n_i, 24, 24) object array R[i, k, j] = coeffs(X^k · rho_i)[j].
+
+    RotSum(rho, b) = b^T · R — the rotation structure of rotation.rs:45-61
+    captured as a per-instance coefficient matrix so the Fq3-weighted sum
+    becomes a batched limb contraction."""
+    n_i = len(rho_s_coeff)
+    R = np.empty((n_i, 24, 24), dtype=object)
+    for i, rho in enumerate(rho_s_coeff):
+        cur = [c % P for c in rho]
+        for k in range(24):
+            R[i, k] = list(cur)
+            cur = RI.rot(cur)
+    return R
+
+
+def rot_lin_combination_vec(rho_s_coeff, theta_s):
+    """Vectorized rot_lin_combination: one batched limb contraction per Fq3
+    component instead of n_i·24·24 pure-Python fq3 muls.  Bit-exact with
+    rot_lin_combination (pinned by tests/test_collect.py).
+
+    Returns TAU host rings (lists of 24 ints).  Call under numpy_mode."""
+    n_i = len(rho_s_coeff)
+    R = gl.from_int(rot_matrices(rho_s_coeff))          # (n_i, 24, 24)
+    th = np.array([[list(t) for t in ths] for ths in theta_s],
+                  dtype=object)                          # (n_i, TAU, 24)
+    tl, thi = gl.from_int(th)
+    # flatten to slot-major Fq3 components: (n_i, 24 slots, 3)
+    tl = tl.reshape(n_i, 24, 3)
+    thi = thi.reshape(n_i, 24, 3)
+    acc = []                                             # per component c
+    for c in range(3):
+        b_c = (tl[..., c, None], thi[..., c, None])      # (n_i, 24, 1)
+        prod = gl.mul(b_c, R)                            # (n_i, 24, 24)
+        flat = (prod[0].reshape(n_i * 24, 24), prod[1].reshape(n_i * 24, 24))
+        acc.append(gl.sum_axis(flat, axis=0))            # (24,)
+    acc_int = [gl.to_int(a) for a in acc]                # 3 x (24,)
+    out = []
+    for j in range(TAU):
+        ring = [0] * 24
+        for s in range(8):
+            for c in range(3):
+                ring[3 * s + c] = int(acc_int[c][8 * j + s])
+        out.append(ring)
+    return out
+
+
+def compute_v0_u0_x0_cm0_vec(rho_coeff, rho_ntt, theta_s, cm_i_s, eta_s, ccs):
+    """Vectorized compute_v0_u0_x0_cm0 (folding/utils.rs:456-517): the
+    ρ-linear combinations as three batched ntt_muls + sums over the instance
+    axis.  Bit-exact with the scalar path (tests/test_collect.py).  Call
+    under numpy_mode; returns plain int lists."""
+    from ..field import hostvec as HV
+    v_0 = rot_lin_combination_vec(rho_coeff, theta_s)
+    rho_l = HV.rings(np.array(rho_ntt, dtype=object))    # (n_i, 24)
+    rho_b = (rho_l[0][:, None], rho_l[1][:, None])
+
+    def combine(stack):
+        arr = HV.rings(np.array(stack, dtype=object))    # (n_i, k, 24)
+        return HV.to_rings(gl.sum_axis(
+            HV.ntt_mul_batch(arr, rho_b), axis=0))
+
+    cm_0 = combine([[list(c) for c in cm_i.cm] for cm_i in cm_i_s])
+    u_0 = combine([[list(e) for e in etas] for etas in eta_s])
+    x_0 = combine([[list(x) for x in cm_i.x_w] + [list(cm_i.h)]
+                   for cm_i in cm_i_s])
+    return v_0, cm_0, u_0, x_0
+
+
 def compute_v0_u0_x0_cm0(rho_s_coeff, rho_s_ntt, theta_s, cm_i_s, eta_s, ccs):
     """(folding/utils.rs:456-517) — host."""
     v_0 = rot_lin_combination(rho_s_coeff, theta_s)
@@ -268,6 +337,53 @@ def expected_claim_value(alpha_s, mu_s, theta_s, e_ast, e_s, zeta_s, eta_s,
         s3 = H.ntt_scalar_mul(s3, e_s[i])
         total = H.ntt_add(total, H.ntt_add(H.ntt_add(s1, s2), s3))
     return total
+
+
+def expected_claim_value_vec(alpha_s, mu_s, theta_s, e_ast, e_s, zeta_s,
+                             eta_s, b_small, K):
+    """Vectorized expected_claim_value (folding/utils.rs:365-408): the
+    ζ/α/μ power chains as batched limb ops over the (2K, t) instance grid.
+    Bit-exact with the scalar path.  Call under numpy_mode; returns a host
+    ring (list of 24 ints)."""
+    from ..field import hostvec as HV
+    n_i = 2 * K
+    th = HV.rings(np.array([[list(t) for t in ths] for ths in theta_s],
+                           dtype=object))                # (n_i, TAU, 24)
+    et = HV.rings(np.array([[list(e) for e in etas] for etas in eta_s],
+                           dtype=object))                # (n_i, t, 24)
+    t = et[0].shape[1]
+    a3 = HV.fq3s(alpha_s)                                # (n_i,)
+    z3 = HV.fq3s(zeta_s)
+    m3 = HV.fq3s(mu_s)
+    e3 = HV.fq3s(e_s)
+    east3 = HV.fq3s([e_ast])
+
+    def powers(base, count):
+        pw = HV.fq3_seq_powers(base, count)              # (count, n_i)
+        return tuple((pw[c][0].T, pw[c][1].T) for c in range(3))  # (n_i, count)
+
+    apow = powers(a3, TAU)
+    zpow = powers(z3, t)
+    mpow = powers(m3, TAU)
+
+    def scal(r, s3):
+        return HV.ntt_scalar_mul_batch(r, s3)
+
+    # s1_i = Σ_d α_i^{d+1} θ_{i,d}
+    s1 = gl.sum_axis(scal(th, apow), axis=1)             # (n_i, 24)
+    # s2_i = Σ_d μ_i^{d+1} · θ·Π_b (θ-b)(θ+b)
+    prod = th
+    for b in range(1, b_small):
+        bb = gl.from_int(np.array(H.ntt_from_u64(b), dtype=object))
+        sq = HV.ntt_mul_batch(gl.sub(th, bb), gl.add(th, bb))
+        prod = HV.ntt_mul_batch(prod, sq)
+    s2 = gl.sum_axis(scal(prod, mpow), axis=1)
+    s2 = scal(s2, east3)
+    # s3_i = Σ_j ζ_i^{j+1} η_{i,j}
+    s3v = gl.sum_axis(scal(et, zpow), axis=1)
+    se = gl.add(scal(gl.add(s1, s3v), e3), s2)
+    total = gl.sum_axis(se, axis=0)
+    return [int(x) for x in gl.to_int(total)]
 
 
 def prove(cm_i_s, wit_s, transcript, ccs, z_s, params):

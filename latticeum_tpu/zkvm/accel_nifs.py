@@ -11,8 +11,10 @@ from __future__ import annotations
 
 import numpy as np
 
+import os
+
 from .. import backend as B
-from ..field import goldilocks as gl, host as H
+from ..field import goldilocks as gl, host as H, mxu
 from ..nifs import decomposition as dec, folding as fold, linearization as lin
 from ..nifs import nifs as nifs_mod
 from ..nifs.structs import CCCS, LCCCS, TAU, Witness
@@ -48,6 +50,10 @@ class DeviceNifs:
         # fulldev: ALL rounds + the duplex challenger in ONE jit dispatch
         # (accel_fs) — eliminates the 2-RTT-per-round host loop
         self.fulldev = True
+        # mxu: evaluation claims as int8 digit-plane matmuls (field.mxu) —
+        # 62.9x over the VPU inner-product path on the production shape
+        # (bench/results/mxu_ab_r03.jsonl), bit-exact
+        self.mxu = os.environ.get("LATTICEUM_MXU", "1") == "1"
         with B.jax_mode():
             self.ajtai_rows = engine.put(gl.from_int(
                 np.array(ajtai_rows, dtype=object)))
@@ -143,6 +149,31 @@ class DeviceNifs:
         on-device fori over K (bounds the transient to one witness)."""
         import jax
 
+        if self.mxu:
+            kb0 = int(fhat_b[0].shape[0])
+
+            def fn_mxu(fh, e):
+                if self.t_layout:
+                    fh = (B.xp.moveaxis(fh[0], -1, -2),
+                          B.xp.moveaxis(fh[1], -1, -2))
+                    e = (B.xp.moveaxis(e[0], -1, -2),
+                         B.xp.moveaxis(e[1], -1, -2))
+                npad = fh[0].shape[-2]
+                flat = (fh[0].reshape(-1, npad, 24),
+                        fh[1].reshape(-1, npad, 24))
+                out = mxu.ring_contract(flat, (e[0].reshape(1, npad, 24),
+                                               e[1].reshape(1, npad, 24)))
+                return (out[0].reshape(kb0, TAU, 24),
+                        out[1].reshape(kb0, TAU, 24))
+
+            jf = self.e._jit(("evalfhat_b_mxu", kb0, self.t_layout,
+                              int(fhat_b[0].shape[-1])), fn_mxu)
+            with B.jax_mode():
+                out = jf(fhat_b, eq_dev)
+            ints = gl.to_int(self.e.get(out))
+            return [[[int(v) for v in row] for row in ints[k]]
+                    for k in range(ints.shape[0])]
+
         def fn(fh, e):
             Kb = fh[0].shape[0]
             out0 = B.xp.zeros((Kb, TAU, 24), np.uint32)
@@ -173,6 +204,16 @@ class DeviceNifs:
         """u-claims for a (K, n, 24) stacked z against the (t, n, 24) eqT,
         fori over K on device -> K lists of t rings."""
         import jax
+
+        if self.mxu:
+            kb0 = int(z_stack[0].shape[0])
+            jf = self.e._jit(("evalclaims_b_mxu", kb0), mxu.ring_contract)
+            with B.jax_mode():
+                out = jf(eqT_dev, z_stack)           # (t, K, 24)
+            ints = gl.to_int(self.e.get(out))
+            return [[[int(v) for v in ints[j, k]]
+                     for j in range(ints.shape[0])]
+                    for k in range(kb0)]
 
         def fn(w, zs):
             Kb = zs[0].shape[0]
@@ -462,6 +503,24 @@ class DeviceNifs:
 
     def _eval_fhat(self, f_hat, eq_dev):
         """<f_hat_j, eq> for each of the TAU f_hat MLEs."""
+        if self.mxu:
+            def fn_mxu(fh, e):
+                if self.t_layout:
+                    fh = (B.xp.moveaxis(fh[0], -1, -2),
+                          B.xp.moveaxis(fh[1], -1, -2))
+                    e = (B.xp.moveaxis(e[0], -1, -2),
+                         B.xp.moveaxis(e[1], -1, -2))
+                npad = fh[0].shape[-2]
+                out = mxu.ring_contract(fh, (e[0].reshape(1, npad, 24),
+                                             e[1].reshape(1, npad, 24)))
+                return out[0][:, 0], out[1][:, 0]
+
+            jf = self.e._jit(("evalfhat_mxu", self.t_layout,
+                              int(f_hat[0].shape[-1])), fn_mxu)
+            with B.jax_mode():
+                out = jf(f_hat, eq_dev)
+            ints = gl.to_int(self.e.get(out))
+            return [[int(v) for v in row] for row in ints]
         if not self.t_layout:
             return self.e.eval_mles_at(f_hat, eq_dev)
 
@@ -503,6 +562,17 @@ class DeviceNifs:
             return jf(eq_dev)
 
     def eval_claims(self, eqT_dev, z_dev):
+        if self.mxu:
+            def fn_mxu(w, z):
+                out = mxu.ring_contract(w, (z[0][None], z[1][None]))
+                return out[0][:, 0], out[1][:, 0]
+
+            jf = self.e._jit(("evalclaims_mxu",), fn_mxu)
+            with B.jax_mode():
+                out = jf(eqT_dev, z_dev)
+            ints = gl.to_int(self.e.get(out))
+            return [[int(v) for v in r] for r in ints]
+
         def fn(w, z):
             prod = rq.ntt_mul(w, (z[0][None], z[1][None]))
             return gl.sum_axis(prod, axis=-2)
@@ -623,7 +693,7 @@ class DeviceNifs:
         mark("f0")
 
         with B.numpy_mode():
-            v_0, cm_0, u_0, x_0 = fold.compute_v0_u0_x0_cm0(
+            v_0, cm_0, u_0, x_0 = fold.compute_v0_u0_x0_cm0_vec(
                 rho_coeff, rho_ntt, theta_s, cm_i_s, eta_s, ccs)
         mark("v0_u0_host")
         h = x_0[-1]

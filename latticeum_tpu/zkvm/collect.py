@@ -144,47 +144,64 @@ def collect_decomposition_vars(cm_i, dec_proof, transcript, K):
 
 
 def collect_folding_vars(cm_i_s, proof, transcript, ccs, params):
+    """Vectorized through field.hostvec (pinned against the scalar
+    formulation by tests/test_collect.py): the α/ζ claim chains, the
+    expected-evaluation value, and the final ρ-products are batched limb
+    ops over the 2K-instance axis instead of pure-Python fq3 loops."""
+    import numpy as np
+
+    from .. import backend as B
+    from ..field import goldilocks as gl, hostvec as HV
+
     K, b_small = params.K, params.B_SMALL
     alpha_s, beta_s, zeta_s, mu_s = fold.squeeze_alpha_beta_zeta_mu(
         transcript, ccs.s, K)
 
-    claim_g1_h1, claim_g1_h2, claim_g1_terms = [], [], []
-    claim_g1 = H.ntt_zero()
-    claim_g3_h, claim_g3_terms = [], []
-    claim_g3 = H.ntt_zero()
     t = ccs.t
-    for i in range(2 * K):
-        v_i = cm_i_s[i].v
-        a = alpha_s[i]
-        h1 = H.ntt_add(H.ntt_scalar_mul(list(v_i[2]), a), v_i[1])
-        h2 = H.ntt_add(H.ntt_scalar_mul(h1, a), v_i[0])
-        claim_i = H.ntt_scalar_mul(h2, a)
-        claim_g1_h1.append(h1)
-        claim_g1_h2.append(h2)
-        claim_g1_terms.append(claim_i)
-        claim_g1 = H.ntt_add(claim_g1, claim_i)
-
-        u_i = cm_i_s[i].u
-        zi = zeta_s[i]
-        h = H.ntt_add(H.ntt_scalar_mul(list(u_i[t - 1]), zi), u_i[t - 2])
-        claim_g3_h.append(h)
+    n_i = 2 * K
+    with B.numpy_mode():
+        v = HV.rings(np.array([[list(x) for x in c.v] for c in cm_i_s],
+                              dtype=object))              # (n_i, 3, 24)
+        u = HV.rings(np.array([[list(x) for x in c.u] for c in cm_i_s],
+                              dtype=object))              # (n_i, t, 24)
+        a3 = HV.fq3s(alpha_s)
+        z3 = HV.fq3s(zeta_s)
+        h1 = gl.add(HV.ntt_scalar_mul_batch((v[0][:, 2], v[1][:, 2]), a3),
+                    (v[0][:, 1], v[1][:, 1]))
+        h2 = gl.add(HV.ntt_scalar_mul_batch(h1, a3),
+                    (v[0][:, 0], v[1][:, 0]))
+        cl1 = HV.ntt_scalar_mul_batch(h2, a3)
+        hh = gl.add(HV.ntt_scalar_mul_batch((u[0][:, t - 1], u[1][:, t - 1]),
+                                            z3),
+                    (u[0][:, t - 2], u[1][:, t - 2]))
+        hs = [hh]
         for j in range(t - 3, -1, -1):
-            h = H.ntt_add(H.ntt_scalar_mul(h, zi), u_i[j])
-            claim_g3_h.append(h)
-        g3_i = H.ntt_scalar_mul(h, zi)
-        claim_g3_terms.append(g3_i)
-        claim_g3 = H.ntt_add(claim_g3, g3_i)
+            hh = gl.add(HV.ntt_scalar_mul_batch(hh, z3),
+                        (u[0][:, j], u[1][:, j]))
+            hs.append(hh)
+        g3i = HV.ntt_scalar_mul_batch(hh, z3)
+        hs_st = (np.stack([x[0] for x in hs], axis=1),
+                 np.stack([x[1] for x in hs], axis=1))    # (n_i, t-1, 24)
+        claim_g1_h1 = HV.to_rings(h1)
+        claim_g1_h2 = HV.to_rings(h2)
+        claim_g1_terms = HV.to_rings(cl1)
+        claim_g1 = HV.to_rings(gl.sum_axis(cl1, axis=0))
+        claim_g3_h = HV.to_rings((hs_st[0].reshape(-1, 24),
+                                  hs_st[1].reshape(-1, 24)))
+        claim_g3_terms = HV.to_rings(g3i)
+        claim_g3 = HV.to_rings(gl.sum_axis(g3i, axis=0))
+        total = H.ntt_add(claim_g1, claim_g3)
 
-    total = H.ntt_add(claim_g1, claim_g3)
     sc = _collect_sumcheck(proof["sumcheck"], transcript, ccs.s,
                            2 * b_small, total)
 
     ris = [[H.ntt_slots(r)[0] for r in cm_i.r] for cm_i in cm_i_s]
     e_ast = fold._eq_eval_fq3(beta_s, sc["evaluation_point"])
     e_s = [fold._eq_eval_fq3(ri, sc["evaluation_point"]) for ri in ris]
-    should = fold.expected_claim_value(
-        alpha_s, mu_s, proof["theta_s"], e_ast, e_s, zeta_s,
-        proof["eta_s"], b_small, K)
+    with B.numpy_mode():
+        should = fold.expected_claim_value_vec(
+            alpha_s, mu_s, proof["theta_s"], e_ast, e_s, zeta_s,
+            proof["eta_s"], b_small, K)
 
     for th in proof["theta_s"]:
         transcript.absorb_slice(th)
@@ -192,15 +209,23 @@ def collect_folding_vars(cm_i_s, proof, transcript, ccs, params):
         transcript.absorb_slice(et)
     rho_coeff, rho_ntt = fold.get_rhos(transcript, K)
 
-    final_cm_products = [H.ntt_mul(list(cm_j), rho)
-                         for cm_i, rho in zip(cm_i_s, rho_ntt)
-                         for cm_j in cm_i.cm]
-    final_u_products = [H.ntt_mul(list(eta_j), rho)
-                        for etas, rho in zip(proof["eta_s"], rho_ntt)
-                        for eta_j in etas]
-    final_x_products = [H.ntt_mul(list(x_j), rho)
-                        for cm_i, rho in zip(cm_i_s, rho_ntt)
-                        for x_j in (list(cm_i.x_w) + [cm_i.h])]
+    with B.numpy_mode():
+        rho_l = HV.rings(np.array(rho_ntt, dtype=object))
+        rho_b = (rho_l[0][:, None], rho_l[1][:, None])
+
+        def products(stack):
+            arr = HV.rings(np.array(stack, dtype=object))  # (n_i, k, 24)
+            out = HV.ntt_mul_batch(arr, rho_b)
+            return HV.to_rings((np.asarray(out[0]).reshape(-1, 24),
+                                np.asarray(out[1]).reshape(-1, 24)))
+
+        final_cm_products = products(
+            [[list(c) for c in cm_i.cm] for cm_i in cm_i_s])
+        final_u_products = products(
+            [[list(e) for e in etas] for etas in proof["eta_s"]])
+        final_x_products = products(
+            [[list(x) for x in cm_i.x_w] + [list(cm_i.h)]
+             for cm_i in cm_i_s])
 
     return {
         "alpha_s": [H.ntt_from_fq3(a) for a in alpha_s],
