@@ -67,6 +67,27 @@ class AjtaiScheme:
         return AjtaiScheme(gl.from_int(np.array(full, dtype=object)), kappa, n)
 
     @staticmethod
+    def from_seed_general(kappa: int, n: int, seed: int = 0):
+        """Full dense uniform κ×n ring matrix via a Philox counter-mode XOF
+        (vectorized rejection sampling mod p — the Poseidon2 challenger XOF
+        of from_seed costs minutes at κ·n·24 ≈ 76M samples; Philox generates
+        the same-sized matrix in ~1 s, still deterministic in `seed`).
+
+        This is the binding-commitment mode: a real dense matvec, not the
+        reference's row-constant PoC structure (commitment_scheme.rs:29-33
+        quirk)."""
+        rng = np.random.Generator(np.random.Philox(key=seed))
+        w = rng.integers(0, 1 << 64, size=(kappa, n, 24), dtype=np.uint64)
+        bad = w >= np.uint64(P)
+        while bad.any():                     # rejection: P(reject) ~ 2^-32
+            w[bad] = rng.integers(0, 1 << 64, size=int(bad.sum()),
+                                  dtype=np.uint64)
+            bad = w >= np.uint64(P)
+        mat = (B.xp.asarray((w & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+               B.xp.asarray((w >> np.uint64(32)).astype(np.uint32)))
+        return AjtaiScheme(mat, kappa, n)
+
+    @staticmethod
     def from_reference_rng(kappa: int, n: int):
         """Bit-exact replication of the REFERENCE matrix (main.rs:81-83):
         `vec![vec![R::rand(rng); n]; kappa]` evaluates `R::rand` once and

@@ -33,9 +33,14 @@ class DeviceWitness:
 
 
 class DeviceNifs:
-    def __init__(self, engine, ccs, params, ajtai_rows, t_layout=False):
+    def __init__(self, engine, ccs, params, ajtai_rows, t_layout=False,
+                 scheme=None):
         """ajtai_rows: host (kappa, 24) ints — the row-constant Ajtai rows
-        (commitment_scheme.rs:29-33 structure).
+        (commitment_scheme.rs:29-33 structure).  Passing a non-row-constant
+        `scheme` (commit.ajtai.AjtaiScheme) instead uploads the full dense
+        κ×N ring matrix and routes ALL commitments (commit_z, the K-1
+        decomposition commits) through the general chunked device matvec —
+        a binding commitment, not just the reference's PoC shortcut.
 
         t_layout=True routes both sum-checks through the transposed
         bit-reversed kernels (accel_t) — the production-scale TPU memory
@@ -54,9 +59,20 @@ class DeviceNifs:
         # 62.9x over the VPU inner-product path on the production shape
         # (bench/results/mxu_ab_r03.jsonl), bit-exact
         self.mxu = os.environ.get("LATTICEUM_MXU", "1") == "1"
+        # factored: eq-factored fold sum-check rounds (accel_fs.
+        # run_fold_fulldev_factored) — Gruen-style eq split, bit-exact
+        self.factored = os.environ.get("LATTICEUM_FACTORED", "1") == "1"
+        self.general_ajtai = (scheme is not None
+                              and not getattr(scheme, "row_constant", False))
         with B.jax_mode():
-            self.ajtai_rows = engine.put(gl.from_int(
-                np.array(ajtai_rows, dtype=object)))
+            if self.general_ajtai:
+                self.ajtai_mat = engine.put(
+                    (np.asarray(scheme.matrix[0]),
+                     np.asarray(scheme.matrix[1])))       # (kappa, N, 24)
+                self.ajtai_rows = None
+            else:
+                self.ajtai_rows = engine.put(gl.from_int(
+                    np.array(ajtai_rows, dtype=object)))
         self._cap = max(M.max_row for M in ccs.M) + 1
         self._cap_pow2 = min(1 << (self._cap - 1).bit_length(), ccs.m)
         self._lin_comb = lin.make_comb_fn2(tuple(tuple(s) for s in ccs.S))
@@ -268,15 +284,47 @@ class DeviceNifs:
             f, w, f_hat = jf(f_coeff_dev)
         return DeviceWitness(w, f_coeff_dev, f, f_hat)
 
+    AJTAI_CHUNK = 1 << 12
+
+    def _matvec_general(self, mat, f, batch_axes=0):
+        """Dense κ×N ring matvec, chunked over N inside the trace.
+
+        mat: (kappa, N, 24); f: (..., N, 24) with `batch_axes` leading batch
+        dims.  Returns (..., kappa, 24).  The matvec whose cost makes Ajtai
+        a real commitment (commitment_scheme.rs:37-52) — VPU slot products
+        with overflow-safe mod-p chunk sums (the MXU variant measured
+        slower at κ=32: output too narrow, bench/results/mxu_ab_r03.jsonl)."""
+        n = int(mat[0].shape[-2])
+        acc = None
+        for start in range(0, n, self.AJTAI_CHUNK):
+            end = min(start + self.AJTAI_CHUNK, n)
+            a = (mat[0][:, start:end], mat[1][:, start:end])  # (k, c, 24)
+            x = (f[0][..., None, start:end, :],
+                 f[1][..., None, start:end, :])               # (...,1,c,24)
+            prod = rq.ntt_mul((a[0][(None,) * batch_axes],
+                               a[1][(None,) * batch_axes]), x)
+            part = gl.sum_axis(prod, axis=-2)                 # (..., k, 24)
+            acc = part if acc is None else gl.add(acc, part)
+        return acc
+
     def commit(self, f_dev):
-        """Row-constant Ajtai: cm_k = row_k · Σ_i f_i (exact for the
-        reference's matrix structure) -> host rings."""
+        """Ajtai commit -> host rings.  Row-constant shortcut
+        (cm_k = row_k · Σ_i f_i, exact for the reference's matrix structure)
+        or the general dense matvec when a full scheme was provided."""
+        n = int(f_dev[0].shape[0])
+        if self.general_ajtai:
+            jf = self.e._jit(("ajtai_gen", n),
+                             lambda m, f: self._matvec_general(m, f))
+            with B.jax_mode():
+                cm = jf(self.ajtai_mat, f_dev)
+            ints = gl.to_int(self.e.get(cm))
+            return [[int(v) for v in r] for r in ints]
+
         def fn(rows, f):
             total = gl.sum_axis(f, axis=-2)              # (24,)
             prod = rq.ntt_mul(rows, (total[0][None], total[1][None]))
             return prod
 
-        n = int(f_dev[0].shape[0])
         jf = self.e._jit(("ajtai_rc", n), fn)
         with B.jax_mode():
             cm = jf(self.ajtai_rows, f_dev)
@@ -410,11 +458,16 @@ class DeviceNifs:
             f = rq.crt(ks)                          # (K, nf, 24)
             w = dc.gadget_recompose(f, Bp, L)       # (K, nw, 24)
             f_hat = self._fhat_batched(ks)          # (K, TAU, ...)
-            # row-constant Ajtai commits for k >= 1 in the same jit
-            total = gl.sum_axis((f[0][1:], f[1][1:]), axis=-2)  # (K-1, 24)
-            cms = rq.ntt_mul(
-                (self.ajtai_rows[0][None], self.ajtai_rows[1][None]),
-                (total[0][:, None], total[1][:, None]))  # (K-1, kappa, 24)
+            if self.general_ajtai:
+                # dense matvec commits for k >= 1 (batched, chunked over N)
+                cms = self._matvec_general(
+                    self.ajtai_mat, (f[0][1:], f[1][1:]), batch_axes=1)
+            else:
+                # row-constant Ajtai commits for k >= 1 in the same jit
+                total = gl.sum_axis((f[0][1:], f[1][1:]), axis=-2)  # (K-1,24)
+                cms = rq.ntt_mul(
+                    (self.ajtai_rows[0][None], self.ajtai_rows[1][None]),
+                    (total[0][:, None], total[1][:, None]))  # (K-1,kappa,24)
             # y_0 = cm - sum_k b^k y_k (decomposition.rs recomposition)
             acc = gl.mul((bp[0][:, None, None], bp[1][:, None, None]), cms)
             y0 = gl.sub(cm_dev, gl.sum_axis(acc, axis=0))
@@ -642,10 +695,21 @@ class DeviceNifs:
             del fhats
         with B.numpy_mode():
             mu_c = fold.mu_consts(mu_s)
-        proof_sc, chals, final = self._sumcheck(
-            transcript, g, log_m, 2 * b_small, "fold", self._fold_comb,
-            getattr(self, "_fold_comb_t", None), self.e.put(mu_c), log=log,
-            already_t=self.t_layout)
+        if self.factored and self.t_layout and self.fulldev:
+            # eq-factored coefficient rounds (Gruen): eq tables leave the
+            # comb, h evaluated at 2·B_SMALL points only, Lagrange-extended
+            # post-contraction — bit-identical messages, ~45% less VPU work
+            from . import accel_fs
+            r1 = [H.ntt_slots(r)[0] for r in cm_i_s[0].r]
+            r2 = [H.ntt_slots(r)[0] for r in cm_i_s[K].r]
+            proof_sc, chals, final = accel_fs.run_fold_fulldev_factored(
+                self.e, transcript, g, log_m, 2 * b_small, "fold",
+                self.e.put(mu_c), (r1, r2, beta_s), b_small, K, log=log)
+        else:
+            proof_sc, chals, final = self._sumcheck(
+                transcript, g, log_m, 2 * b_small, "fold", self._fold_comb,
+                getattr(self, "_fold_comb_t", None), self.e.put(mu_c),
+                log=log, already_t=self.t_layout)
         del g
         mark("sumcheck")
         r_0 = chals
@@ -835,16 +899,14 @@ class DeviceNifs:
             def half(lo_idx, hi_idx):
                 acc = gl.sum_axis((ha[0][lo_idx:hi_idx],
                                    ha[1][lo_idx:hi_idx]), axis=0)
-                # combined z: comb[j] = sum_i zeta_i^{j+1} z_i  (t, n, 24)
-                comb = gl.zeros((t, ccs.n, 24))
-                for i in range(lo_idx, hi_idx):
-                    zc = tuple((zeta[0][i, :, c, None],
-                                zeta[1][i, :, c, None])
-                               for c in range(3))          # (t, 1) each
-                    zi = (zs[0][i][None], zs[1][i][None])
-                    comb = gl.add(comb, rq.ntt_scalar_mul(zi, zc))
-                zg = (comb[0][ucoo["mats"], ucoo["cols"]],
-                      comb[1][ucoo["mats"], ucoo["cols"]])
+                # challenged z per COO entry (see _build_head.half): scale
+                # the nnz gathered columns instead of the full (t, n) grid
+                zg_i = (zs[0][lo_idx:hi_idx][:, ucoo["cols"]],
+                        zs[1][lo_idx:hi_idx][:, ucoo["cols"]])
+                zc = tuple((zeta[0][lo_idx:hi_idx, :, c][:, ucoo["mats"]],
+                            zeta[1][lo_idx:hi_idx, :, c][:, ucoo["mats"]])
+                           for c in range(3))              # (Kh, nnz)
+                zg = gl.sum_axis(rq.ntt_scalar_mul(zg_i, zc), axis=0)
                 if ucoo["scalar"]:
                     sv = (ucoo["vals"][0][:, None], ucoo["vals"][1][:, None])
                     prod = gl.mul(sv, zg)
@@ -929,16 +991,16 @@ class DeviceNifs:
                                for c in range(3))
                     term = rq.ntt_scalar_mul_t((tl[0][idx], tl[1][idx]), a3)
                     acc = term if acc is None else gl.add(acc, term)
-                # combined z: comb[j] = sum_i zeta_i^{j+1} z_i  (t, n, 24)
-                comb = gl.zeros((t, ccs.n, 24))
-                for i in range(lo_idx, hi_idx):
-                    zc = tuple((zeta[0][i, :, c, None],
-                                zeta[1][i, :, c, None])
-                               for c in range(3))
-                    zi = (zs[0][i][None], zs[1][i][None])
-                    comb = gl.add(comb, rq.ntt_scalar_mul(zi, zc))
-                zg = (comb[0][ucoo["mats"], ucoo["cols"]],
-                      comb[1][ucoo["mats"], ucoo["cols"]])
+                # challenged z per COO ENTRY: only the nnz gathered columns
+                # are ever read, so scale those instead of materializing
+                # comb[j] = Σ_i ζ_i^{j+1} z_i over the full (t, n) grid
+                # (~36x less work: nnz=68k vs t·n=2.5M)
+                zg_i = (zs[0][lo_idx:hi_idx][:, ucoo["cols"]],
+                        zs[1][lo_idx:hi_idx][:, ucoo["cols"]])
+                zc = tuple((zeta[0][lo_idx:hi_idx, :, c][:, ucoo["mats"]],
+                            zeta[1][lo_idx:hi_idx, :, c][:, ucoo["mats"]])
+                           for c in range(3))        # (Kh, nnz) comps
+                zg = gl.sum_axis(rq.ntt_scalar_mul(zg_i, zc), axis=0)
                 if ucoo["scalar"]:
                     sv = (ucoo["vals"][0][:, None], ucoo["vals"][1][:, None])
                     prod = gl.mul(sv, zg)

@@ -171,17 +171,43 @@ def collect_folding_vars(cm_i_s, proof, transcript, ccs, params):
         h2 = gl.add(HV.ntt_scalar_mul_batch(h1, a3),
                     (v[0][:, 0], v[1][:, 0]))
         cl1 = HV.ntt_scalar_mul_batch(h2, a3)
-        hh = gl.add(HV.ntt_scalar_mul_batch((u[0][:, t - 1], u[1][:, t - 1]),
-                                            z3),
-                    (u[0][:, t - 2], u[1][:, t - 2]))
-        hs = [hh]
-        for j in range(t - 3, -1, -1):
-            hh = gl.add(HV.ntt_scalar_mul_batch(hh, z3),
-                        (u[0][:, j], u[1][:, j]))
-            hs.append(hh)
+        # Horner chain h_j = Σ_{m>=j} ζ^{m-j} u_m as a log-doubling suffix
+        # cumsum of w_m = ζ^m u_m, then h_j = ζ^{-j} S_j: 7 batched adds
+        # instead of t-2 sequential tiny muls (bit-equal, exact algebra)
+        zpow = HV.fq3_seq_powers(z3, t)                   # ζ^1..ζ^t (t, n_i)
+        zp = tuple((np.concatenate([np.ones((1, n_i), np.uint32)
+                                    if c == 0 else
+                                    np.zeros((1, n_i), np.uint32),
+                                    zpow[c][0][:t - 1]]).T,
+                    np.concatenate([np.zeros((1, n_i), np.uint32),
+                                    zpow[c][1][:t - 1]]).T)
+                   for c in range(3))                     # ζ^0..ζ^{t-1}
+        zinv = [H.fq3_inv(z) for z in zeta_s]
+        zipow = HV.fq3_seq_powers(HV.fq3s(zinv), t)       # ζ^-1..ζ^-t
+        zip_ = tuple((np.concatenate([np.ones((1, n_i), np.uint32)
+                                      if c == 0 else
+                                      np.zeros((1, n_i), np.uint32),
+                                      zipow[c][0][:t - 1]]).T,
+                      np.concatenate([np.zeros((1, n_i), np.uint32),
+                                      zipow[c][1][:t - 1]]).T)
+                     for c in range(3))                   # ζ^0..ζ^-(t-1)
+        w = HV.ntt_scalar_mul_batch(u, zp)                # (n_i, t, 24)
+        S = w
+        sh = 1
+        while sh < t:
+            Slo = S[0].copy()
+            Shi = S[1].copy()
+            head_add = gl.add((Slo[:, :t - sh], Shi[:, :t - sh]),
+                              (S[0][:, sh:], S[1][:, sh:]))
+            Slo[:, :t - sh] = head_add[0]
+            Shi[:, :t - sh] = head_add[1]
+            S = (Slo, Shi)
+            sh *= 2
+        h_all = HV.ntt_scalar_mul_batch(S, zip_)          # h_j at (n_i, j, 24)
+        # list order: j = t-2 down to 0
+        hs_st = (h_all[0][:, t - 2::-1], h_all[1][:, t - 2::-1])
+        hh = (h_all[0][:, 0], h_all[1][:, 0])             # h_0
         g3i = HV.ntt_scalar_mul_batch(hh, z3)
-        hs_st = (np.stack([x[0] for x in hs], axis=1),
-                 np.stack([x[1] for x in hs], axis=1))    # (n_i, t-1, 24)
         claim_g1_h1 = HV.to_rings(h1)
         claim_g1_h2 = HV.to_rings(h2)
         claim_g1_terms = HV.to_rings(cl1)

@@ -93,7 +93,8 @@ class ZkVmProver:
     def __init__(self, params=None, scheme_seed: int = 0, debug: bool = False,
                  device: bool = False, t_layout: bool = True,
                  tail_threshold: int = 512, log=None,
-                 reference_scheme: bool = False):
+                 reference_scheme: bool = False,
+                 general_ajtai: bool = False):
         """device=True routes the fold hot path (witness pipeline, Ajtai,
         both sum-checks, evaluation claims) through jitted TPU kernels
         (accel.DeviceEngine + accel_nifs.DeviceNifs); t_layout selects the
@@ -111,6 +112,11 @@ class ZkVmProver:
             # bit-exact ark_std::test_rng matrix for Rust-parity runs
             self.scheme = AjtaiScheme.from_reference_rng(self.params.KAPPA,
                                                          n_ajtai)
+        elif general_ajtai:
+            # binding mode: full dense uniform matrix, real device matvec
+            self.scheme = AjtaiScheme.from_seed_general(self.params.KAPPA,
+                                                        n_ajtai,
+                                                        seed=scheme_seed)
         else:
             self.scheme = AjtaiScheme.from_seed(self.params.KAPPA, n_ajtai,
                                                 seed=scheme_seed)
@@ -125,12 +131,15 @@ class ZkVmProver:
             from .accel_nifs import DeviceNifs
             engine = DeviceEngine(self.ccs, self.params,
                                   tail_threshold=tail_threshold)
-            rows_host = [[int(v) for v in r]
-                         for r in gl.to_int(
-                             (np.asarray(self.scheme.rows_limbs[0]),
-                              np.asarray(self.scheme.rows_limbs[1])))]
+            if getattr(self.scheme, "row_constant", False):
+                rows_host = [[int(v) for v in r]
+                             for r in gl.to_int(
+                                 (np.asarray(self.scheme.rows_limbs[0]),
+                                  np.asarray(self.scheme.rows_limbs[1])))]
+            else:
+                rows_host = None
             self.dn = DeviceNifs(engine, self.ccs, self.params, rows_host,
-                                 t_layout=t_layout)
+                                 t_layout=t_layout, scheme=self.scheme)
 
     # -- pieces ----------------------------------------------------------
     def initialize_accumulator(self, initial_step_comm=ZERO_COMM):

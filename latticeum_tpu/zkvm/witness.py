@@ -125,6 +125,14 @@ def set_trace_witness(z: list, trace, lay):
         z[lay.val_rs2_idx] = trace.input.regs[a["rs2"]]
         z[lay.val_rd_out_idx] = trace.output.regs[a["rd"]]
         z[lay.has_overflown_idx] = int(se.has_overflown)
+    elif se.branched_to is not None:
+        # opcodes without dedicated gates (warn-only in the reference,
+        # ccs.rs:958): a taken branch must still satisfy the universal
+        # pc_non_branching gate (1-is_br)(pc_out-pc_in-size), so record the
+        # branch.  Value semantics of such opcodes stay unconstrained,
+        # exactly like the reference's gateless handling.
+        z[lay.is_branching_idx] = 1
+        z[lay.branched_to_idx] = se.branched_to
     # other instructions: warn-only in the reference (ccs.rs:958)
 
     z[lay.pc_out_idx] = trace.output.pc

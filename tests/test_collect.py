@@ -169,3 +169,54 @@ def test_interpolate_with_terms_matches_scalar():
         res_s = H.ntt_add(res_s, term)
     assert res == res_s
     assert terms == terms_s
+
+
+def test_collect_folding_vars_chain_matches_scalar():
+    """Drives collect.collect_folding_vars ITSELF (not an inline copy) and
+    pins its claim chains / g3 suffix-scan against the scalar formulation
+    at production-like t."""
+    from latticeum_tpu.zkvm.collect import collect_folding_vars
+    from latticeum_tpu.crypto.transcript import Transcript
+
+    t, K, b_small, s = 125, 2, 2, 3
+    n_i = 2 * K
+
+    class _Ccs:
+        pass
+    ccs = _Ccs()
+    ccs.t, ccs.l, ccs.s = t, 2, s
+
+    cms = [_FakeLcccs(t, 3, 2) for _ in range(n_i)]
+    for c in cms:
+        c.r = [H.ntt_from_fq3(_fq3()) for _ in range(s)]
+    proof = {
+        "sumcheck": [[_ring() for _ in range(2 * b_small + 1)]
+                     for _ in range(s)],
+        "theta_s": [[_ring() for _ in range(3)] for _ in range(n_i)],
+        "eta_s": [[_ring() for _ in range(t)] for _ in range(n_i)],
+    }
+
+    class _P:
+        pass
+    params = _P()
+    params.K, params.B_SMALL = K, b_small
+
+    vars_ = collect_folding_vars(cms, proof, Transcript(), ccs, params)
+
+    # scalar oracle for the g3 chain, replaying the same challenges
+    t2 = Transcript()
+    alpha_s, beta_s, zeta_s, mu_s = fold.squeeze_alpha_beta_zeta_mu(
+        t2, s, K)
+    g3_h = []
+    g3 = H.ntt_zero()
+    for i in range(n_i):
+        u_i, zi = cms[i].u, zeta_s[i]
+        h = H.ntt_add(H.ntt_scalar_mul(list(u_i[t - 1]), zi), u_i[t - 2])
+        g3_h.append(h)
+        for j in range(t - 3, -1, -1):
+            h = H.ntt_add(H.ntt_scalar_mul(h, zi), u_i[j])
+            g3_h.append(h)
+        g3 = H.ntt_add(g3, H.ntt_scalar_mul(h, zi))
+    assert vars_["claim_g3_h"] == g3_h
+    assert vars_["claim_g3"] == g3
+    assert len(vars_["final_u_products"]) == n_i * t

@@ -140,3 +140,44 @@ def test_checkpoint_roundtrip(tmp_path):
                                   np.asarray(gl.to_int(wit.f)))
     assert step_comm[0] == [1, 2, 3, 4]
     assert ckpt.latest(str(tmp_path)) == path
+
+
+def test_gateless_branch_opcode_sets_branching():
+    """Opcodes without dedicated gates (warn-only in the reference,
+    ccs.rs:958) must still satisfy the universal pc gate
+    (1-is_br)(pc_out - pc_in - size) when they branch (e.g. BLTU in the
+    memory-churn guest)."""
+    from latticeum_tpu.vm.decoder import Inst
+    from latticeum_tpu.vm.vm import ExecutionTrace, SideEffects, Snapshot
+    from latticeum_tpu.zkvm.witness import set_trace_witness
+
+    lay = CCSLayout(default_params())
+    regs = [0] * 32
+    trace = ExecutionTrace(
+        cycle=0,
+        input=Snapshot(pc=0x100, regs=list(regs)),
+        output=Snapshot(pc=0x0F0, regs=list(regs)),
+        instruction=Inst(name="BLTU", raw_word=0, size=4,
+                         args={"rs1": 10, "rs2": 11, "offset": -16}),
+        side_effects=SideEffects(branched_to=0x0F0),
+    )
+    z = [0] * lay.z_size
+    set_trace_witness(z, trace, lay)
+    assert z[lay.is_branching_idx] == 1
+    assert z[lay.branched_to_idx] == 0x0F0
+    # pc gate residual is exactly zero
+    assert (1 - z[lay.is_branching_idx]) * (
+        z[lay.pc_out_idx] - z[lay.pc_in_idx]
+        - z[lay.instruction_size_idx]) == 0
+    # non-branching unknown opcode keeps the plain pc path
+    trace2 = ExecutionTrace(
+        cycle=1,
+        input=Snapshot(pc=0x100, regs=list(regs)),
+        output=Snapshot(pc=0x104, regs=list(regs)),
+        instruction=Inst(name="LW", raw_word=0, size=4,
+                         args={"rd": 5, "rs1": 10, "offset": 0}),
+        side_effects=SideEffects(),
+    )
+    z2 = [0] * lay.z_size
+    set_trace_witness(z2, trace2, lay)
+    assert z2[lay.is_branching_idx] == 0
