@@ -512,6 +512,267 @@ def run_fold_fulldev_factored(engine, transcript, parts, nv, degree,
     return proof, chals, final
 
 
+def run_lin_fulldev_factored(engine, transcript, g_t, nv, degree, comb_key,
+                             consts_dev, S, beta_s, log=None):
+    """Eq-factored linearization sum-check: all rounds + challenger in ONE
+    dispatch (the lin analog of run_fold_fulldev_factored).
+
+    The lin g = eq(β, x) · q(x) with q = Σ_i c_i Π_{j∈S_i} Mz_j(x)
+    (linearization/utils.rs:66-107).  Gruen's split: per round
+    eq(β, (r_<i, t, x)) = E_i · eqf(β_i, t) · eq(β_{>i}, x), so
+
+      * the eq table folds by PAIR-SUMS and never enters the comb;
+      * q is evaluated at only deg(q)+1 = degree points (one fewer than the
+        degree+1 message points), Lagrange-extended POST-contraction;
+      * COMPONENT-SPLIT layout: every Fq3 component in its own (rows, 8, x)
+        array, so the multiset product chains are pure fq3.mul with no
+        24→(8,3) retile per op (measured 1.5x on the fold comb).
+
+    g_t: (t+1, 24, n0) bit-reversed t-layout stack, eq row LAST (lin_g_t
+    output, reused verbatim).  Truncated stacks (n0 < 2^nv) reconstruct the
+    remaining-variable eq table from the host betas mid-dispatch, exactly
+    like run_sumcheck_fulldev's recon path (E carries the device-round
+    eqf prefix).  Round messages are bit-identical to the direct comb —
+    same polynomial, exact mod-p arithmetic.
+    """
+    import time
+
+    from ..field import fq3, host as Hh
+
+    t_start = time.time()
+    t_rows = int(g_t[0].shape[0]) - 1
+    n0 = int(g_t[0].shape[-1])
+    rounds_dev = min(nv, int(np.log2(n0)) if n0 > 1 else 0)
+    npts_q = degree                      # deg(q) = degree - 1
+    n_msg = degree + 1
+    chunk_budget = getattr(engine, "sum_chunk_bytes", 192 << 20)
+
+    groups = {}
+    for i, S_i in enumerate(S):
+        groups.setdefault(len(S_i), []).append((i, list(S_i)))
+    group_list = [
+        (np.array([m[0] for m in members], np.int32),
+         np.array([m[1] for m in members], np.int32))
+        for size, members in sorted(groups.items())]
+
+    state16, ibuf, obuf = snapshot_challenger(transcript.ch)
+    ilen, olen = len(ibuf), len(obuf)
+
+    embeds = np.array([Hh.ntt_from_u64(nv), Hh.ntt_from_u64(degree)],
+                      dtype=object).reshape(-1)
+    embeds = _split64(np.array([int(v) for v in embeds], dtype=np.uint64))
+
+    # host consts: eqf(β_i, t) per (round, message point); Lagrange
+    # extension deg(q)+1 -> degree+1; raw betas for the E update
+    eqf = np.empty((nv, n_msg, 3), dtype=object)
+    for i, b in enumerate(beta_s):
+        for t in range(n_msg):
+            eqf[i, t] = [(x * (2 * t - 1) + (1 - t if j == 0 else 0)) % gl.P
+                         for j, x in enumerate(b)]
+    eqf_l = _split_obj(eqf)
+    ext_q = _split_obj(_lagrange_ext_consts(npts_q, n_msg))
+    betas_l = _split_obj(np.array([list(b) for b in beta_s], dtype=object))
+
+    recon = rounds_dev < nv
+    if recon:
+        rest = 1 << (nv - rounds_dev)
+        with B.numpy_mode():
+            tab_std = accel_t.build_eq_table_rev(beta_s[rounds_dev:])
+            tab_t = (np.moveaxis(np.asarray(tab_std[0]), 0, 1),
+                     np.moveaxis(np.asarray(tab_std[1]), 0, 1))   # (24, rest)
+
+    def fn(g_, consts, st, ib, ob):
+        import jax
+        import jax.numpy as jnp
+        xp = B.xp
+        ch = DevChallenger(
+            (st[0].reshape(1, WIDTH), st[1].reshape(1, WIDTH)),
+            [(ib[0][i], ib[1][i]) for i in range(ilen)],
+            [(ob[0][i], ob[1][i]) for i in range(olen)])
+        ch.observe_array((xp.asarray(embeds[0]), xp.asarray(embeds[1])))
+
+        one32, zero32 = np.uint32(1), np.uint32(0)
+        one3 = ((one32, zero32), (zero32, zero32), (zero32, zero32))
+
+        def split3(lo, hi):
+            return tuple((lo[..., c::3, :], hi[..., c::3, :])
+                         for c in range(3))
+
+        def lo3(x3, half):
+            return tuple((x3[c][0][..., :half], x3[c][1][..., :half])
+                         for c in range(3))
+
+        def hi3(x3, half):
+            return tuple((x3[c][0][..., half:], x3[c][1][..., half:])
+                         for c in range(3))
+
+        mz3 = split3(g_[0][:t_rows], g_[1][:t_rows])     # comps (t, 8, n)
+        eq3 = split3(g_[0][t_rows], g_[1][t_rows])       # comps (8, n)
+        eqf_d = tuple(xp.asarray(a) for a in eqf_l)
+        ext_q_d = tuple(xp.asarray(a) for a in ext_q)
+        betas_d = tuple(xp.asarray(a) for a in betas_l)
+        qn = int(consts[0].shape[0])
+        c_comp = tuple(
+            (consts[0].reshape(qn, 8, 3)[..., c],
+             consts[1].reshape(qn, 8, 3)[..., c]) for c in range(3))
+        E = one3
+
+        def extend(Sv, ext):
+            e0 = ext[0].reshape(ext[0].shape + (1,) * (Sv[0].ndim - 1))
+            e1 = ext[1].reshape(ext[1].shape + (1,) * (Sv[1].ndim - 1))
+            prod = gl.mul((Sv[0][None], Sv[1][None]), (e0[:, :], e1[:, :]))
+            return gl.sum_axis(prod, axis=1)             # (n_msg, ...)
+
+        msgs_lo, msgs_hi = [], []
+
+        def one_round(mz3, eq3, E, ridx):
+            n_r = int(mz3[0][0].shape[-1])
+            half = n_r // 2
+            Tn3 = fq3.add(lo3(eq3, half), hi3(eq3, half))  # comps (8, half)
+            bytes_half = t_rows * 24 * half * 8
+            chunks = 1
+            while (bytes_half // chunks > chunk_budget
+                   and half % (chunks * 2) == 0):
+                chunks *= 2
+            cs = half // chunks
+
+            def body(i, acc):
+                pt = i // chunks
+                j = i % chunks
+                tl = pt.astype(jnp.uint32)
+                tz = jnp.zeros((), jnp.uint32)
+
+                def dsl(x, off):
+                    return jax.lax.dynamic_slice(x, (0, 0, off),
+                                                 (t_rows, 8, cs))
+
+                v0c = tuple((dsl(mz3[c][0], j * cs), dsl(mz3[c][1], j * cs))
+                            for c in range(3))
+                v1c = tuple((dsl(mz3[c][0], half + j * cs),
+                             dsl(mz3[c][1], half + j * cs))
+                            for c in range(3))
+                st3 = fq3.sub(v1c, v0c)
+                vals = tuple(gl.add(v0c[c], gl.mul(st3[c], (tl, tz)))
+                             for c in range(3))
+                total = None
+                for iidx, jidx in group_list:
+                    g3 = tuple((vals[c][0][jidx], vals[c][1][jidx])
+                               for c in range(3))        # (g, sz, 8, cs)
+                    prod = tuple((g3[c][0][:, 0], g3[c][1][:, 0])
+                                 for c in range(3))
+                    for s in range(1, jidx.shape[1]):
+                        prod = fq3.mul(prod,
+                                       tuple((g3[c][0][:, s], g3[c][1][:, s])
+                                             for c in range(3)))
+                    cw = tuple((c_comp[c][0][iidx][..., None],
+                                c_comp[c][1][iidx][..., None])
+                               for c in range(3))        # (g, 8, 1)
+                    term = fq3.mul(prod, cw)
+                    part = tuple(gl.sum_axis(term[c], axis=0)
+                                 for c in range(3))      # (8, cs)
+                    total = part if total is None else fq3.add(total, part)
+                Tc = tuple((jax.lax.dynamic_slice(
+                                Tn3[c][0], (0, j * cs), (8, cs)),
+                            jax.lax.dynamic_slice(
+                                Tn3[c][1], (0, j * cs), (8, cs)))
+                           for c in range(3))
+                tot = fq3.mul(total, Tc)
+                s3 = tuple(gl.sum_axis(tot[c], axis=-1) for c in range(3))
+                outs = []
+                for c in range(3):
+                    prev = (acc[c][0][pt], acc[c][1][pt])
+                    nxt = gl.add(prev, s3[c])
+                    outs.append((acc[c][0].at[pt].set(nxt[0]),
+                                 acc[c][1].at[pt].set(nxt[1])))
+                return tuple(outs)
+
+            init = tuple((jnp.zeros((npts_q, 8), jnp.uint32),
+                          jnp.zeros((npts_q, 8), jnp.uint32))
+                         for _ in range(3))
+            Sq3 = jax.lax.fori_loop(0, npts_q * chunks, body, init)
+
+            Sq_ext = tuple(extend(Sq3[c], ext_q_d)
+                           for c in range(3))            # (n_msg, 8)
+            w3 = fq3.mul(E, tuple((eqf_d[0][ridx, :, c],
+                                   eqf_d[1][ridx, :, c])
+                                  for c in range(3)))    # (n_msg,)
+            wb = tuple((w3[c][0][:, None], w3[c][1][:, None])
+                       for c in range(3))
+            msg3 = fq3.mul(Sq_ext, wb)
+            msg = (xp.stack([msg3[c][0] for c in range(3)],
+                            axis=-1).reshape(n_msg, 24),
+                   xp.stack([msg3[c][1] for c in range(3)],
+                            axis=-1).reshape(n_msg, 24))
+            ch.observe_array((msg[0].reshape(-1), msg[1].reshape(-1)))
+            msgs_lo.append(msg[0])
+            msgs_hi.append(msg[1])
+            c3 = ch.get_challenge()
+            post = (xp.stack([c3[j][0] for j in range(3)] * 8),
+                    xp.stack([c3[j][1] for j in range(3)] * 8))
+            ch.observe_array(post)
+            r3 = tuple((x[0], x[1]) for x in c3)
+            mstep = fq3.sub(hi3(mz3, half), lo3(mz3, half))
+            mz3 = fq3.add(lo3(mz3, half), fq3.mul(mstep, r3))
+            b3 = tuple((betas_d[0][ridx, c], betas_d[1][ridx, c])
+                       for c in range(3))
+            br = fq3.mul(b3, r3)
+            eqf_r = fq3.add(fq3.sub(fq3.sub(one3, b3), r3),
+                            fq3.add(br, br))
+            return mz3, Tn3, fq3.mul(E, eqf_r)
+
+        for r in range(rounds_dev):
+            mz3, eq3, E = one_round(mz3, eq3, E, r)
+        if recon:
+            st_lo = xp.zeros((t_rows, 8, rest), np.uint32)
+            st_hi = xp.zeros((t_rows, 8, rest), np.uint32)
+            mz3 = tuple(
+                (st_lo.at[:, :, 0].set(mz3[c][0][:, :, 0]),
+                 st_hi.at[:, :, 0].set(mz3[c][1][:, :, 0]))
+                for c in range(3))
+            tab3 = split3(xp.asarray(tab_t[0]), xp.asarray(tab_t[1]))
+            eq3 = tab3
+            for r in range(rounds_dev, nv):
+                mz3, eq3, E = one_round(mz3, eq3, E, r)
+
+        # final rows [Mz..., eq] matching the unfactored stack order
+        fin_lo = xp.concatenate(
+            [xp.stack([mz3[c][0][..., 0] for c in range(3)],
+                      axis=-1).reshape(t_rows, 24),
+             xp.stack([E[c][0] for c in range(3)] * 8)[None]])
+        fin_hi = xp.concatenate(
+            [xp.stack([mz3[c][1][..., 0] for c in range(3)],
+                      axis=-1).reshape(t_rows, 24),
+             xp.stack([E[c][1] for c in range(3)] * 8)[None]])
+        return (xp.stack(msgs_lo), xp.stack(msgs_hi)), (fin_lo, fin_hi)
+
+    jf = engine._jit((comb_key, "fulldev_lin_factored", t_rows, n0, degree,
+                      nv, ilen, olen), fn)
+    with B.jax_mode():
+        msgs, final = jf(g_t, consts_dev,
+                         engine.put(_split64(state16)),
+                         engine.put(_split64(ibuf)),
+                         engine.put(_split64(obuf)))
+    msgs_host = gl.to_int(engine.get(msgs))
+    final = engine.get(final)
+    if log:
+        log(f"factored lin sumcheck dispatch+fetch: "
+            f"{time.time()-t_start:.2f}s")
+
+    transcript.absorb_u64(nv)
+    transcript.absorb_u64(degree)
+    proof, chals = [], []
+    for r in range(nv):
+        msg = [[int(v) for v in row] for row in msgs_host[r]]
+        transcript.absorb_slice(msg)
+        proof.append(msg)
+        c = transcript.get_challenge()
+        transcript.absorb_fq3(c)
+        chals.append(c)
+    final = (np.asarray(final[0]).reshape(-1, 24),
+             np.asarray(final[1]).reshape(-1, 24))
+    return proof, chals, final
+
+
 def run_sumcheck_fulldev(engine, transcript, mles_t, nv, degree, comb_key,
                          comb_fn, consts_dev, eq_info_rev=None, log=None):
     """All array rounds of the sum-check in ONE device dispatch (traced

@@ -62,6 +62,10 @@ class DeviceNifs:
         # factored: eq-factored fold sum-check rounds (accel_fs.
         # run_fold_fulldev_factored) — Gruen-style eq split, bit-exact
         self.factored = os.environ.get("LATTICEUM_FACTORED", "1") == "1"
+        # factored_lin: same eq split + component-split layout for the
+        # linearization sum-check (accel_fs.run_lin_fulldev_factored)
+        self.factored_lin = os.environ.get("LATTICEUM_LIN_FACTORED",
+                                           "1") == "1"
         self.general_ajtai = (scheme is not None
                               and not getattr(scheme, "row_constant", False))
         with B.jax_mode():
@@ -370,10 +374,17 @@ class DeviceNifs:
                 g = (B.xp.concatenate([mz[0], eq_dev[0][None]]),
                      B.xp.concatenate([mz[1], eq_dev[1][None]]))
             del mz, eq_dev
-        proof_sc, chals, final = self._sumcheck(
-            transcript, g, ccs.s, ccs.d + 1, "lin", self._lin_comb,
-            getattr(self, "_lin_comb_t", None), self._lin_consts_dev,
-            eq_info=(beta_s, ccs.t), log=log, already_t=self.t_layout)
+        if self.t_layout and self.fulldev and self.factored_lin:
+            from . import accel_fs
+            proof_sc, chals, final = accel_fs.run_lin_fulldev_factored(
+                self.e, transcript, g, ccs.s, ccs.d + 1, "lin",
+                self._lin_consts_dev, tuple(tuple(s) for s in ccs.S),
+                beta_s, log=log)
+        else:
+            proof_sc, chals, final = self._sumcheck(
+                transcript, g, ccs.s, ccs.d + 1, "lin", self._lin_comb,
+                getattr(self, "_lin_comb_t", None), self._lin_consts_dev,
+                eq_info=(beta_s, ccs.t), log=log, already_t=self.t_layout)
         del g
         mark("sumcheck")
         eq_r = self._eq_for_eval(chals, wit.f_hat)
