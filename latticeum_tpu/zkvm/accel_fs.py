@@ -191,6 +191,20 @@ def _lagrange_ext_consts(npts: int, n_targets: int):
     return M
 
 
+def _const_key(obj) -> str:
+    """Digest of per-proof constants baked into a monolith closure.
+
+    The all-rounds-in-one-dispatch runners below trace proof-dependent
+    values (betas, eqf tables, reconstruction eq tables) as compile-time
+    constants; caching those closures by shape alone made the 2nd proof
+    with identical shapes silently reuse the 1st proof's constants
+    (round-3 advisor finding, high).  Including this digest in the jit key
+    makes the cache correct — at the cost of a recompile per proof, which
+    is why accel_rounds (constants as arguments) is the default path."""
+    import hashlib
+    return hashlib.sha1(repr(obj).encode()).hexdigest()[:16]
+
+
 def _split_obj(arr):
     """object int array mod p -> (lo, hi) uint32 numpy arrays."""
     flat = np.array([int(v) % gl.P for v in np.asarray(arr).reshape(-1)],
@@ -485,7 +499,7 @@ def run_fold_fulldev_factored(engine, transcript, parts, nv, degree,
         return (xp.stack(msgs_lo), xp.stack(msgs_hi)), final
 
     jf = engine._jit((comb_key, "fulldev_factored", rows, n0, degree, nv,
-                      ilen, olen), fn)
+                      ilen, olen, _const_key(eq_points)), fn)
     with B.jax_mode():
         msgs, final = jf(head, tail, consts_dev,
                          engine.put(_split64(state16)),
@@ -547,6 +561,8 @@ def run_lin_fulldev_factored(engine, transcript, g_t, nv, degree, comb_key,
     n_msg = degree + 1
     chunk_budget = getattr(engine, "sum_chunk_bytes", 192 << 20)
 
+    assert all(len(S_i) >= 1 for S_i in S), \
+        "factored lin comb needs non-empty multisets (builder invariant)"
     groups = {}
     for i, S_i in enumerate(S):
         groups.setdefault(len(S_i), []).append((i, list(S_i)))
@@ -746,7 +762,7 @@ def run_lin_fulldev_factored(engine, transcript, g_t, nv, degree, comb_key,
         return (xp.stack(msgs_lo), xp.stack(msgs_hi)), (fin_lo, fin_hi)
 
     jf = engine._jit((comb_key, "fulldev_lin_factored", t_rows, n0, degree,
-                      nv, ilen, olen), fn)
+                      nv, ilen, olen, _const_key(beta_s)), fn)
     with B.jax_mode():
         msgs, final = jf(g_t, consts_dev,
                          engine.put(_split64(state16)),
@@ -884,7 +900,8 @@ def run_sumcheck_fulldev(engine, transcript, mles_t, nv, degree, comb_key,
                 cur = one_round(cur, k)
         return (B.xp.stack(msgs_lo), B.xp.stack(msgs_hi)), cur
 
-    jf = engine._jit((comb_key, "fulldev", k, n0, degree, nv, ilen, olen),
+    jf = engine._jit((comb_key, "fulldev", k, n0, degree, nv, ilen, olen,
+                      _const_key(eq_info_rev[0]) if recon else ""),
                      fn)
     with B.jax_mode():
         msgs, cur = jf(parts0, consts_dev,

@@ -52,9 +52,14 @@ class DeviceNifs:
         # shrinking-buffer sum-check (one cached compile per round shape)
         # vs fixed-buffer (one compile, 2x work, interleave temps)
         self.shrink = True
-        # fulldev: ALL rounds + the duplex challenger in ONE jit dispatch
-        # (accel_fs) — eliminates the 2-RTT-per-round host loop
+        # fulldev: device-resident duplex challenger (no 2-RTT-per-round
+        # host loop).  rounds=1 (default) chains one small jit PER ROUND
+        # asynchronously (accel_rounds; minutes-not-tens-of-minutes cold
+        # compile); rounds=0 selects the legacy ONE-dispatch monolith
+        # (accel_fs) whose 17 unrolled round bodies compiled for >27 min
+        # from a cold cache on the 2-core bench host (BENCH_r03 rc=124).
         self.fulldev = True
+        self.rounds = os.environ.get("LATTICEUM_ROUNDS", "1") == "1"
         # mxu: evaluation claims as int8 digit-plane matmuls (field.mxu) —
         # 62.9x over the VPU inner-product path on the production shape
         # (bench/results/mxu_ab_r03.jsonl), bit-exact
@@ -115,7 +120,11 @@ class DeviceNifs:
         g_t = g_dev if (already_t or is_parts) \
             else self._accel_t.to_t_layout(self.e, g_dev)
         del g_dev
-        if self.fulldev:
+        if self.fulldev and self.rounds:
+            # unfactored fallback with the host transcript: shrink rounds
+            # (one small shape-keyed kernel per round; RTT ~25 ms/round)
+            runner = self._accel_t.run_sumcheck_shrink
+        elif self.fulldev:
             from . import accel_fs
             runner = accel_fs.run_sumcheck_fulldev
         elif self.shrink:
@@ -375,11 +384,20 @@ class DeviceNifs:
                      B.xp.concatenate([mz[1], eq_dev[1][None]]))
             del mz, eq_dev
         if self.t_layout and self.fulldev and self.factored_lin:
-            from . import accel_fs
-            proof_sc, chals, final = accel_fs.run_lin_fulldev_factored(
-                self.e, transcript, g, ccs.s, ccs.d + 1, "lin",
-                self._lin_consts_dev, tuple(tuple(s) for s in ccs.S),
-                beta_s, log=log)
+            if self.rounds:
+                from . import accel_rounds
+                proof_sc, chals, final = \
+                    accel_rounds.run_lin_rounds_factored(
+                        self.e, transcript, g, ccs.s, ccs.d + 1, "lin",
+                        self._lin_consts_dev,
+                        tuple(tuple(s) for s in ccs.S), beta_s,
+                        comb_t=self._lin_comb_t, log=log)
+            else:
+                from . import accel_fs
+                proof_sc, chals, final = accel_fs.run_lin_fulldev_factored(
+                    self.e, transcript, g, ccs.s, ccs.d + 1, "lin",
+                    self._lin_consts_dev, tuple(tuple(s) for s in ccs.S),
+                    beta_s, log=log)
         else:
             proof_sc, chals, final = self._sumcheck(
                 transcript, g, ccs.s, ccs.d + 1, "lin", self._lin_comb,
@@ -690,6 +708,14 @@ class DeviceNifs:
             for w in wit_s:
                 w.f_hat = None
                 w.f_coeff = None
+            if batches is not None:
+                # the two (K, TAU, 24, m) dec f_hat stacks are 2.8 GB each
+                # at production scale and are dead once concatenated into
+                # the tail (thetas come from the sum-check finals) — drop
+                # the refs or they pin ~5.7 GB of HBM through the fold
+                # rounds (step-2 OOM, BENCH r04 cold-run post-mortem)
+                batches[0]["fhat"] = None
+                batches[1]["fhat"] = None
             mark("tail_concat")
             head = self._build_head(tail, z_s, cm_i_s, alpha_s, zeta_s,
                                     beta_s, K, zs_stack=zs_stack)
@@ -710,12 +736,21 @@ class DeviceNifs:
             # eq-factored coefficient rounds (Gruen): eq tables leave the
             # comb, h evaluated at 2·B_SMALL points only, Lagrange-extended
             # post-contraction — bit-identical messages, ~45% less VPU work
-            from . import accel_fs
             r1 = [H.ntt_slots(r)[0] for r in cm_i_s[0].r]
             r2 = [H.ntt_slots(r)[0] for r in cm_i_s[K].r]
-            proof_sc, chals, final = accel_fs.run_fold_fulldev_factored(
-                self.e, transcript, g, log_m, 2 * b_small, "fold",
-                self.e.put(mu_c), (r1, r2, beta_s), b_small, K, log=log)
+            if self.rounds:
+                from . import accel_rounds
+                proof_sc, chals, final = \
+                    accel_rounds.run_fold_rounds_factored(
+                        self.e, transcript, g, log_m, 2 * b_small, "fold",
+                        self.e.put(mu_c), (r1, r2, beta_s), b_small, K,
+                        comb_t=self._fold_comb_t, log=log)
+            else:
+                from . import accel_fs
+                proof_sc, chals, final = accel_fs.run_fold_fulldev_factored(
+                    self.e, transcript, g, log_m, 2 * b_small, "fold",
+                    self.e.put(mu_c), (r1, r2, beta_s), b_small, K,
+                    log=log)
         else:
             proof_sc, chals, final = self._sumcheck(
                 transcript, g, log_m, 2 * b_small, "fold", self._fold_comb,

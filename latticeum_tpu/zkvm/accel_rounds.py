@@ -1,0 +1,531 @@
+"""Per-round eq-factored sum-check: small shape-keyed kernels + host FS.
+
+Replaces the monolithic all-rounds-in-ONE-dispatch kernels (accel_fs.run_*)
+on the default path.  Measured facts that drive the design (compile_probe
+on the axon TPU link, round-3/4 post-mortems):
+
+  * XLA compile cost is dominated by the DEVICE-side Fiat-Shamir
+    challenger: each Poseidon2 perm16 instance in a graph costs ~7 s of
+    compile (a Pallas embed ~13 s per program), so 17-round monoliths with
+    ~60 perm instances compile for tens of minutes from a cold cache
+    (BENCH_r03 rc=124) — and the host<->device round trip is only ~25 ms,
+    so a HOST transcript costs ~0.5 s per fold step in RTTs;
+  * the monolith's component-split Fq3 layout (one array per extension
+    component) is pathological for the XLA:CPU pipeline — tiny kernels
+    compile for minutes / livelock (the r03 "first test_accel case took
+    ~18 min" symptom).  The packed (rows, 24, n) t-layout with rq.ntt_mul_t
+    ops compiles in seconds on both backends — the round kernels below use
+    ONLY that proven pattern.
+
+So: the transcript stays on HOST (crypto/transcript.py, native C++ core),
+and each sum-check round is ONE small jitted kernel of pure array math —
+fold the previous challenge in, pair-sum the eq table, evaluate the comb
+products at the few needed points, contract.  Gruen's eq split makes every
+proof-dependent scalar (eq prefix E, eqf(beta, t) message weights, the
+Lagrange extension to the message points) a tiny HOST integer computation
+on the fetched contraction sums, so the kernels are keyed by SHAPE ONLY
+and are reused across proofs and IVC steps — nothing proof-dependent is
+ever baked into a traced closure (the round-3 advisor's high-severity
+finding against the monoliths).
+
+Once arrays shrink below engine.tail the remaining rounds run on host
+numpy via the existing batched tail (accel_t._host_tail_t) — the factored
+state converts exactly: the unfactored eq row equals E * T where T is the
+carried pair-sum table (T_i(x) = eq(beta_{>=i}, x)).
+
+Math matches the reference's sum-checks exactly:
+linearization g = eq(beta, x) * sum_i c_i prod_{j in S_i} Mz_j(x)
+(latticefold/src/nifs/linearization/utils.rs:66-107); folding g = eq_r1*c1
++ eq_r2*c2 + eq_beta * sum_kd mu_k^{d+1} (f_hat prod_b (f_hat^2 - b^2))_kd
+(nifs/folding/utils.rs:196-321); transcript pair sumcheck.rs:51-112 +
+zkvm/src/fiat_shamir.rs:20-114.  Round messages are bit-identical to the
+unfactored path: same polynomial, exact mod-p arithmetic — the factored
+evaluation uses deg(q)+1 / deg(h)+1 points and recovers the full
+degree+1-point message by exact Lagrange extension on host integers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import backend as B
+from ..field import goldilocks as gl, host as H
+from ..ring import rq
+from . import accel_t
+from .accel_fs import _lagrange_ext_consts
+
+P = gl.P
+
+
+# -- host-side Fq3 / extension helpers --------------------------------------
+
+def _eqf_host(b, t):
+    """eqf(b, t) = (1-b)(1-t) + b*t at integer point t, b an Fq3 triple."""
+    return tuple((x * (2 * t - 1) + ((1 - t) if j == 0 else 0)) % P
+                 for j, x in enumerate(b))
+
+
+def _eqf_at(b, r):
+    """eqf(b, r) = 1 - b - r + 2br for Fq3 b, r."""
+    br = H.fq3_mul(b, r)
+    return H.fq3_sub(H.fq3_add(H.fq3_add(br, br), (1, 0, 0)),
+                     H.fq3_add(b, r))
+
+
+def _fq3_limbs(c):
+    """Fq3 int triple -> 3-tuple of (lo, hi) uint32 scalars (kernel arg)."""
+    return tuple((np.uint32(int(x) % P & 0xFFFFFFFF),
+                  np.uint32((int(x) % P) >> 32)) for x in c)
+
+
+def _rings_to_int(s):
+    """Fetched (npts, 24) limb pair -> [pt][slot] Fq3 int triples."""
+    lo = np.asarray(s[0]).astype(np.uint64)
+    hi = np.asarray(s[1]).astype(np.uint64)
+    v = lo + (hi << np.uint64(32))
+    npts = v.shape[0]
+    return [[(int(v[t, 3 * sl]), int(v[t, 3 * sl + 1]),
+              int(v[t, 3 * sl + 2])) for sl in range(8)]
+            for t in range(npts)]
+
+
+def _extend_host(S_pts, ext):
+    """S_pts: [pt][slot] Fq3 triples at points 0..npts-1; ext: (n_msg, npts)
+    object-int Lagrange matrix -> [t][slot] triples at points 0..n_msg-1."""
+    npts = len(S_pts)
+    n_msg = ext.shape[0]
+    out = []
+    for t in range(n_msg):
+        row = []
+        for sl in range(8):
+            acc = [0, 0, 0]
+            for j in range(npts):
+                w = int(ext[t, j])
+                v = S_pts[j][sl]
+                for c in range(3):
+                    acc[c] = (acc[c] + w * v[c]) % P
+            row.append(tuple(acc))
+        out.append(row)
+    return out
+
+
+def _weighted_msg(terms, n_msg):
+    """terms: list of (per-point Fq3 weight list, S_ext [t][slot]) -> round
+    message rows [t] = 24 slot-major ints (sum_tbl w_tbl(t) * S_tbl(t))."""
+    msg = []
+    for t in range(n_msg):
+        slots = [(0, 0, 0)] * 8
+        for w_t, S_ext in terms:
+            w = w_t[t]
+            row = S_ext[t]
+            slots = [H.fq3_add(slots[sl], H.fq3_mul(w, row[sl]))
+                     for sl in range(8)]
+        msg.append([int(v) for sl in slots for v in sl])
+    return msg
+
+
+def _scale_rows_host(rows, scalar):
+    """Host: (24, n) limb pair * Fq3 scalar (slot-major packed rows)."""
+    with B.numpy_mode():
+        return rq.ntt_scalar_mul_t(rows, _fq3_limbs(scalar))
+
+
+def _chunks_for(bytes_half, half, budget):
+    chunks = 1
+    while bytes_half // chunks > budget and half % (chunks * 2) == 0:
+        chunks *= 2
+    return chunks
+
+
+def _transcript_round(transcript, msg):
+    transcript.absorb_slice(msg)
+    c = transcript.get_challenge()
+    transcript.absorb_fq3(c)
+    return c
+
+
+def _fold_t(x, r3):
+    """Packed (…, 24, n) fold at challenge: v0 + r*(v1-v0)."""
+    half = int(x[0].shape[-1]) // 2
+    v0 = (x[0][..., :half], x[1][..., :half])
+    v1 = (x[0][..., half:], x[1][..., half:])
+    return gl.add(v0, rq.ntt_scalar_mul_t(gl.sub(v1, v0), r3))
+
+
+def _pair_sum(x):
+    half = int(x[0].shape[-1]) // 2
+    return gl.add((x[0][..., :half], x[1][..., :half]),
+                  (x[0][..., half:], x[1][..., half:]))
+
+
+# ---------------------------------------------------------------------------
+# linearization
+# ---------------------------------------------------------------------------
+
+def run_lin_rounds_factored(engine, transcript, g_t, nv, degree, comb_key,
+                            consts_dev, S, beta_s, comb_t=None, log=None):
+    """Eq-factored linearization sum-check, one small kernel per round.
+
+    g_t: (t+1, 24, n0) bit-reversed t-layout stack, eq row LAST.  Each round
+    kernel folds the previous challenge into the Mz rows, pair-sums the eq
+    table (it never enters the comb), evaluates q = sum_i c_i prod Mz_j at
+    deg(q)+1 = degree points, T-weights and contracts; the host extends the
+    sums to the degree+1 message points and applies the E*eqf(beta_r, t)
+    weight exactly (ints mod p).  Truncated stacks (n0 < 2^nv) and the
+    small-round tail run on the host path, which also handles the eq-table
+    reconstruction (accel_t._host_tail_t -> _numpy_tail).
+
+    Returns (proof, chals, final) with final rows in [Mz..., eq] order.
+    """
+    import time
+    t_start = time.time()
+    t_rows = int(g_t[0].shape[0]) - 1
+    n0 = int(g_t[0].shape[-1])
+    npts_q = degree                      # deg(q) = degree - 1
+    n_msg = degree + 1
+    budget = getattr(engine, "sum_chunk_bytes", 192 << 20)
+    assert all(len(S_i) >= 1 for S_i in S), \
+        "factored lin comb needs non-empty multisets (builder invariant)"
+
+    groups = {}
+    for i, S_i in enumerate(S):
+        groups.setdefault(len(S_i), []).append((i, list(S_i)))
+    group_list = [
+        (np.array([m[0] for m in members], np.int32),
+         np.array([m[1] for m in members], np.int32))
+        for size, members in sorted(groups.items())]
+
+    ext_q = _lagrange_ext_consts(npts_q, n_msg)
+
+    transcript.absorb_u64(nv)
+    transcript.absorb_u64(degree)
+
+    def entry_fn(g_):
+        return (g_[0][:t_rows], g_[1][:t_rows]), (g_[0][t_rows],
+                                                  g_[1][t_rows])
+
+    jentry = engine._jit((comb_key, "linfr_entry", t_rows, n0), entry_fn)
+    with B.jax_mode():
+        mz, eq = jentry(g_t)
+
+    def make_round(n_in, fold_first):
+        n_cur = n_in // 2 if fold_first else n_in
+        half = n_cur // 2
+        chunks = _chunks_for(t_rows * 24 * half * 8, half, budget)
+        cs = half // chunks
+
+        def fn(mz, eq, consts, r3):
+            import jax
+            import jax.numpy as jnp
+            if fold_first:
+                # Mz rows fold at the challenge; the eq table advances by
+                # pair sums only (Gruen) — one per round, below
+                mz = _fold_t(mz, r3)
+            Tn = _pair_sum(eq)                        # (24, half)
+
+            def body(i, acc):
+                pt = i // chunks
+                j = i % chunks
+                tl = pt.astype(jnp.uint32)
+                tz = jnp.zeros((), jnp.uint32)
+
+                def dsl(x, off):
+                    return jax.lax.dynamic_slice(x, (0, 0, off),
+                                                 (t_rows, 24, cs))
+
+                v0 = (dsl(mz[0], j * cs), dsl(mz[1], j * cs))
+                v1 = (dsl(mz[0], half + j * cs), dsl(mz[1], half + j * cs))
+                step = gl.sub(v1, v0)
+                vals = gl.add(v0, gl.mul(step, (tl, tz)))
+                total = None
+                for iidx, jidx in group_list:
+                    glo, ghi = vals[0][jidx], vals[1][jidx]
+                    prod = (glo[:, 0], ghi[:, 0])
+                    for s in range(1, jidx.shape[1]):
+                        prod = rq.ntt_mul_t(prod, (glo[:, s], ghi[:, s]))
+                    ci = (consts[0][iidx][..., None],
+                          consts[1][iidx][..., None])
+                    term = rq.ntt_mul_t(prod, ci)
+                    part = gl.sum_axis(term, axis=0)
+                    total = part if total is None else gl.add(total, part)
+                Tc = (jax.lax.dynamic_slice(Tn[0], (0, j * cs), (24, cs)),
+                      jax.lax.dynamic_slice(Tn[1], (0, j * cs), (24, cs)))
+                tot = rq.ntt_mul_t(total, Tc)
+                s = gl.sum_axis(tot, axis=-1)         # (24,)
+                prev = (acc[0][pt], acc[1][pt])
+                nxt = gl.add(prev, s)
+                return (acc[0].at[pt].set(nxt[0]), acc[1].at[pt].set(nxt[1]))
+
+            init = (jnp.zeros((npts_q, 24), jnp.uint32),
+                    jnp.zeros((npts_q, 24), jnp.uint32))
+            Sq = jax.lax.fori_loop(0, npts_q * chunks, body, init)
+            return mz, Tn, Sq
+
+        return fn
+
+    E = (1, 0, 0)
+    proof, chals = [], []
+    r3_prev = _fq3_limbs((0, 0, 0))
+    n_cur = n0          # on-device array size at kernel entry (pre-fold)
+    r = 0
+    while r < nv:
+        n_eff = n_cur // 2 if r > 0 else n_cur
+        if n_eff < 2 or n_eff // 2 < max(engine.tail, 1):
+            break
+        fold_first = r > 0
+        # mz/eq are consumed every round (rebound to the outputs): donate
+        # so the fold reuses their HBM instead of holding both generations
+        jf = engine._jit((comb_key, "linfr", t_rows, n_cur, fold_first,
+                          budget), make_round(n_cur, fold_first),
+                         donate_argnums=(0, 1))
+        with B.jax_mode():
+            mz, eq, Sq = jf(mz, eq, consts_dev, r3_prev)
+        S_pts = _rings_to_int(engine.get(Sq))
+        S_ext = _extend_host(S_pts, ext_q)
+        w_t = [H.fq3_mul(E, _eqf_host(beta_s[r], t)) for t in range(n_msg)]
+        msg = _weighted_msg([(w_t, S_ext)], n_msg)
+        c = _transcript_round(transcript, msg)
+        proof.append(msg)
+        chals.append(c)
+        E = H.fq3_mul(E, _eqf_at(beta_s[r], c))
+        r3_prev = _fq3_limbs(c)
+        if fold_first:
+            n_cur //= 2
+        r += 1
+
+    # handoff: fetch, fold the pending challenge on host, convert the
+    # factored state back to the unfactored stack (eq row = E * T, where T
+    # is the pair-summed table — already at the folded size)
+    mz_host = engine.get(mz)
+    eq_host = engine.get(eq)
+    with B.numpy_mode():
+        if r > 0:
+            mz_host = _fold_t(mz_host, r3_prev)
+    eq_scaled = _scale_rows_host(eq_host, E)
+    stack = (np.concatenate([np.asarray(mz_host[0]),
+                             np.asarray(eq_scaled[0])[None]]),
+             np.concatenate([np.asarray(mz_host[1]),
+                             np.asarray(eq_scaled[1])[None]]))
+
+    if r < nv:
+        part_comb = (lambda vals, c: comb_t(vals[0], c))
+        tail_proof, tail_chals, final = accel_t._host_tail_t(
+            engine, transcript, [stack], nv, r, degree, comb_key,
+            part_comb, consts_dev, (beta_s, t_rows), chals, log=log)
+        proof.extend(tail_proof)
+        chals.extend(tail_chals)
+    else:
+        final = (stack[0][..., 0], stack[1][..., 0])
+    final = (np.asarray(final[0]).reshape(-1, 24),
+             np.asarray(final[1]).reshape(-1, 24))
+    if log:
+        log(f"lin rounds ({r} dev + {nv-r} host): "
+            f"{time.time()-t_start:.2f}s")
+    return proof, chals, final
+
+
+# ---------------------------------------------------------------------------
+# folding
+# ---------------------------------------------------------------------------
+
+def run_fold_rounds_factored(engine, transcript, parts, nv, degree,
+                             comb_key, consts_dev, eq_points, b_small, K,
+                             TAU=3, comb_t=None, log=None):
+    """Eq-factored folding sum-check, one small kernel per round.
+
+    parts: [head (5, 24, n), tail (2K*TAU, 24, n)] bit-reversed t-layout,
+    head rows = [eq_r1, c1, eq_r2, c2, eq_beta]; eq_points: (r1, r2, beta)
+    host Fq3 coordinate lists; consts_dev: mu components (2K, 3) limbs.
+    Each round kernel folds the challenge into the f_hat/c rows, pair-sums
+    the three eq tables, evaluates h = sum_kd mu_k^{d+1} f(f^2-b^2)... at
+    deg(h)+1 = 2*B_SMALL points (T_beta-weighted) and the two linear c
+    terms at {0, 1} (T_r-weighted); the host Lagrange-extends and applies
+    the E_tbl*eqf weights.  Returns final rows in the
+    [eq1, c1, eq2, c2, eq_beta, f_hat...] order.
+    """
+    import time
+    t_start = time.time()
+    head, tail = parts
+    n0 = int(tail[0].shape[-1])
+    assert n0 == 1 << nv, "factored fold runner needs full-width MLEs"
+    rows = int(tail[0].shape[0])
+    npts_h = 2 * b_small
+    n_msg = degree + 1
+    budget = getattr(engine, "sum_chunk_bytes", 192 << 20)
+
+    ext_h = _lagrange_ext_consts(npts_h, n_msg)
+    ext_c = _lagrange_ext_consts(2, n_msg)
+    # b^2 range constants as (24, 1) limb columns (broadcast over rows/x)
+    bsq_l = []
+    for b in range(1, b_small):
+        v = [int(x) for x in H.ntt_from_u64(b * b)]
+        bsq_l.append((np.asarray([x & 0xFFFFFFFF for x in v],
+                                 np.uint32)[:, None],
+                      np.asarray([x >> 32 for x in v], np.uint32)[:, None]))
+
+    transcript.absorb_u64(nv)
+    transcript.absorb_u64(degree)
+
+    # prologue: split rows + mu powers mu_k^{d+1} (k-major) from the arg
+    def entry_fn(head_, tail_, consts):
+        from ..field import fq3
+        xp = B.xp
+        c2r = (head_[0][1:4:2], head_[1][1:4:2])      # (2, 24, n)
+        eqs = (head_[0][0::2], head_[1][0::2])        # (3, 24, n) r1, r2, b
+        mu1 = tuple((consts[0][:, c], consts[1][:, c]) for c in range(3))
+        pows, cur_p = [], mu1
+        for _d in range(TAU):
+            pows.append(cur_p)
+            if _d + 1 < TAU:
+                cur_p = fq3.mul(cur_p, mu1)
+        mu_pow = tuple(
+            (xp.stack([p[c][0] for p in pows], axis=1).reshape(-1),
+             xp.stack([p[c][1] for p in pows], axis=1).reshape(-1))
+            for c in range(3))                         # comps (2K*TAU,)
+        return tail_, c2r, eqs, mu_pow
+
+    jentry = engine._jit((comb_key, "foldfr_entry", rows, n0), entry_fn)
+    with B.jax_mode():
+        t_s, c2r, eqs, mu_pow = jentry(head, tail, consts_dev)
+
+    def make_round(n_in, fold_first):
+        n_cur = n_in // 2 if fold_first else n_in
+        half = n_cur // 2
+        chunks = _chunks_for(rows * 24 * half * 8, half, budget)
+        cs = half // chunks
+
+        def fn(t_s, c2r, eqs, mu_pow, r3):
+            import jax
+            import jax.numpy as jnp
+            if fold_first:
+                # f_hat/c rows fold at the challenge; the eq tables advance
+                # by pair sums only (Gruen)
+                t_s = _fold_t(t_s, r3)
+                c2r = _fold_t(c2r, r3)
+            Tn = _pair_sum(eqs)                        # (3, 24, half)
+            # c terms at points {0, 1}: T_r-weighted contractions
+            Tr = (Tn[0][:2], Tn[1][:2])
+            p0 = rq.ntt_mul_t(Tr, (c2r[0][..., :half], c2r[1][..., :half]))
+            p1 = rq.ntt_mul_t(Tr, (c2r[0][..., half:], c2r[1][..., half:]))
+            Sc0 = gl.sum_axis(p0, axis=-1)             # (2, 24)
+            Sc1 = gl.sum_axis(p1, axis=-1)
+            Tb = (Tn[0][2], Tn[1][2])
+
+            def body(i, acc):
+                pt = i // chunks
+                j = i % chunks
+                tl = pt.astype(jnp.uint32)
+                tz = jnp.zeros((), jnp.uint32)
+
+                def dsl(x, off):
+                    return jax.lax.dynamic_slice(x, (0, 0, off),
+                                                 (rows, 24, cs))
+
+                v0 = (dsl(t_s[0], j * cs), dsl(t_s[1], j * cs))
+                v1 = (dsl(t_s[0], half + j * cs), dsl(t_s[1], half + j * cs))
+                step = gl.sub(v1, v0)
+                vals = gl.add(v0, gl.mul(step, (tl, tz)))
+                f_sq = rq.ntt_mul_t(vals, vals)
+                ev = None
+                for bb in bsq_l:
+                    factor = gl.sub(f_sq, (jnp.broadcast_to(bb[0],
+                                                            f_sq[0].shape),
+                                           jnp.broadcast_to(bb[1],
+                                                            f_sq[1].shape)))
+                    ev = factor if ev is None else rq.ntt_mul_t(ev, factor)
+                ev = vals if ev is None else rq.ntt_mul_t(ev, vals)
+                ev = rq.ntt_scalar_mul_t(ev, mu_pow)   # mu_k^{d+1} per row
+                evs = gl.sum_axis(ev, axis=0)          # (24, cs)
+                Tbc = (jax.lax.dynamic_slice(Tb[0], (0, j * cs), (24, cs)),
+                       jax.lax.dynamic_slice(Tb[1], (0, j * cs), (24, cs)))
+                evs = rq.ntt_mul_t(evs, Tbc)
+                s = gl.sum_axis(evs, axis=-1)          # (24,)
+                prev = (acc[0][pt], acc[1][pt])
+                nxt = gl.add(prev, s)
+                return (acc[0].at[pt].set(nxt[0]), acc[1].at[pt].set(nxt[1]))
+
+            init = (jnp.zeros((npts_h, 24), jnp.uint32),
+                    jnp.zeros((npts_h, 24), jnp.uint32))
+            Sh = jax.lax.fori_loop(0, npts_h * chunks, body, init)
+            return t_s, c2r, Tn, Sh, Sc0, Sc1
+
+        return fn
+
+    E = [(1, 0, 0), (1, 0, 0), (1, 0, 0)]
+    proof, chals = [], []
+    r3_prev = _fq3_limbs((0, 0, 0))
+    n_cur = n0
+    r = 0
+    while r < nv:
+        n_eff = n_cur // 2 if r > 0 else n_cur
+        if n_eff < 2 or n_eff // 2 < max(engine.tail, 1):
+            break
+        fold_first = r > 0
+        # t/c/eq buffers are consumed every round: donate (the f_hat tail
+        # alone is 2.3 GB at production scale — without donation two
+        # generations coexist per round)
+        jf = engine._jit((comb_key, "foldfr", rows, n_cur, fold_first,
+                          budget), make_round(n_cur, fold_first),
+                         donate_argnums=(0, 1, 2))
+        with B.jax_mode():
+            t_s, c2r, eqs, Sh, Sc0, Sc1 = jf(t_s, c2r, eqs, mu_pow, r3_prev)
+        Sh_pts = _rings_to_int(engine.get(Sh))
+        sc0 = _rings_to_int(engine.get(Sc0))   # [table][slot]
+        sc1 = _rings_to_int(engine.get(Sc1))
+        Sh_ext = _extend_host(Sh_pts, ext_h)
+        terms = []
+        for tbl in range(2):
+            S_ext = _extend_host([sc0[tbl], sc1[tbl]], ext_c)
+            w_t = [H.fq3_mul(E[tbl], _eqf_host(eq_points[tbl][r], t))
+                   for t in range(n_msg)]
+            terms.append((w_t, S_ext))
+        w_t = [H.fq3_mul(E[2], _eqf_host(eq_points[2][r], t))
+               for t in range(n_msg)]
+        terms.append((w_t, Sh_ext))
+        msg = _weighted_msg(terms, n_msg)
+        c = _transcript_round(transcript, msg)
+        proof.append(msg)
+        chals.append(c)
+        for tbl in range(3):
+            E[tbl] = H.fq3_mul(E[tbl], _eqf_at(eq_points[tbl][r], c))
+        r3_prev = _fq3_limbs(c)
+        if fold_first:
+            n_cur //= 2
+        r += 1
+
+    # handoff -> unfactored [head5, tail] parts on host (eq rows = E * T)
+    t_host = engine.get(t_s)
+    c_host = engine.get(c2r)
+    eq_host = engine.get(eqs)
+    with B.numpy_mode():
+        if r > 0:
+            t_host = _fold_t(t_host, r3_prev)
+            c_host = _fold_t(c_host, r3_prev)
+    eq_sc = [_scale_rows_host((np.asarray(eq_host[0][i]),
+                               np.asarray(eq_host[1][i])), E[i])
+             for i in range(3)]
+    c_lo, c_hi = np.asarray(c_host[0]), np.asarray(c_host[1])
+    head_pack = (
+        np.stack([np.asarray(eq_sc[0][0]), c_lo[0], np.asarray(eq_sc[1][0]),
+                  c_lo[1], np.asarray(eq_sc[2][0])]),
+        np.stack([np.asarray(eq_sc[0][1]), c_hi[0], np.asarray(eq_sc[1][1]),
+                  c_hi[1], np.asarray(eq_sc[2][1])]))
+    tail_pack = (np.asarray(t_host[0]), np.asarray(t_host[1]))
+
+    if r < nv:
+        tail_proof, tail_chals, final = accel_t._host_tail_t(
+            engine, transcript, [head_pack, tail_pack], nv, r, degree,
+            comb_key, comb_t, consts_dev, None, chals, log=log)
+        proof.extend(tail_proof)
+        chals.extend(tail_chals)
+    else:
+        final = (np.concatenate([head_pack[0][..., 0],
+                                 tail_pack[0][..., 0]]),
+                 np.concatenate([head_pack[1][..., 0],
+                                 tail_pack[1][..., 0]]))
+    final = (np.asarray(final[0]).reshape(-1, 24),
+             np.asarray(final[1]).reshape(-1, 24))
+    if log:
+        log(f"fold rounds ({r} dev + {nv-r} host): "
+            f"{time.time()-t_start:.2f}s")
+    return proof, chals, final

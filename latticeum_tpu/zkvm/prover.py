@@ -101,9 +101,20 @@ class ZkVmProver:
         transposed bit-reversed memory layout needed at production scale.
         The transcript and all proof messages are bit-identical either way.
         """
+        import time as _time
+        _t0 = [_time.time()]
+
+        def _mark(name):
+            if log:
+                now = _time.time()
+                log(f"  init.{name}: {now-_t0[0]:.2f}s")
+                _t0[0] = now
+
         self.params = params or default_params()
         self.layout = CCSLayout(self.params)
+        _mark("layout")
         self.ccs = create_riscv_ccs(self.layout)
+        _mark("ccs_build")
         self.dp = DecompositionParams(B=self.params.B, L=self.params.L,
                                       B_SMALL=self.params.B_SMALL,
                                       K=self.params.K)
@@ -120,6 +131,7 @@ class ZkVmProver:
         else:
             self.scheme = AjtaiScheme.from_seed(self.params.KAPPA, n_ajtai,
                                                 seed=scheme_seed)
+        _mark("ajtai_scheme")
         self.committer = ZkVmCommitter()
         self.debug = debug
         self.timings = {}
@@ -131,6 +143,7 @@ class ZkVmProver:
             from .accel_nifs import DeviceNifs
             engine = DeviceEngine(self.ccs, self.params,
                                   tail_threshold=tail_threshold)
+            _mark("device_engine")
             if getattr(self.scheme, "row_constant", False):
                 rows_host = [[int(v) for v in r]
                              for r in gl.to_int(
@@ -140,6 +153,7 @@ class ZkVmProver:
                 rows_host = None
             self.dn = DeviceNifs(engine, self.ccs, self.params, rows_host,
                                  t_layout=t_layout, scheme=self.scheme)
+            _mark("device_nifs")
 
     # -- pieces ----------------------------------------------------------
     def initialize_accumulator(self, initial_step_comm=ZERO_COMM):
