@@ -80,8 +80,14 @@ class DeviceNifs:
                      np.asarray(scheme.matrix[1])))       # (kappa, N, 24)
                 self.ajtai_rows = None
             else:
-                self.ajtai_rows = engine.put(gl.from_int(
-                    np.array(ajtai_rows, dtype=object)))
+                # build the limbs on HOST and put once — from_int under
+                # jax_mode would create a device array that engine.put then
+                # fetches straight back (a needless device->host round trip,
+                # and the tunnel's first fetch is its stall-prone op)
+                with B.numpy_mode():
+                    rows_limbs = gl.from_int(
+                        np.array(ajtai_rows, dtype=object))
+                self.ajtai_rows = engine.put(rows_limbs)
         self._cap = max(M.max_row for M in ccs.M) + 1
         self._cap_pow2 = min(1 << (self._cap - 1).bit_length(), ccs.m)
         self._lin_comb = lin.make_comb_fn2(tuple(tuple(s) for s in ccs.S))

@@ -28,10 +28,13 @@ and are reused across proofs and IVC steps — nothing proof-dependent is
 ever baked into a traced closure (the round-3 advisor's high-severity
 finding against the monoliths).
 
-Once arrays shrink below engine.tail the remaining rounds run on host
-numpy via the existing batched tail (accel_t._host_tail_t) — the factored
-state converts exactly: the unfactored eq row equals E * T where T is the
-carried pair-sum table (T_i(x) = eq(beta_{>=i}, x)).
+Once arrays shrink below engine.tail the remaining rounds run in a
+FIXED-width device phase (_fixed_phase): two kernels per protocol, reused
+for every remaining round, over interleaved zero-padded buffers — the
+factored state converts exactly at the handoff because the unfactored eq
+row equals E * T, where T is the carried pair-sum table
+(T_i(x) = eq(beta_{>=i}, x)).  Only the truncated-MLE reconstruction
+rounds (trivial sizes) finish on host numpy.
 
 Math matches the reference's sum-checks exactly:
 linearization g = eq(beta, x) * sum_i c_i prod_{j in S_i} Mz_j(x)
@@ -124,12 +127,6 @@ def _weighted_msg(terms, n_msg):
     return msg
 
 
-def _scale_rows_host(rows, scalar):
-    """Host: (24, n) limb pair * Fq3 scalar (slot-major packed rows)."""
-    with B.numpy_mode():
-        return rq.ntt_scalar_mul_t(rows, _fq3_limbs(scalar))
-
-
 def _chunks_for(bytes_half, half, budget):
     chunks = 1
     while bytes_half // chunks > budget and half % (chunks * 2) == 0:
@@ -156,6 +153,66 @@ def _pair_sum(x):
     half = int(x[0].shape[-1]) // 2
     return gl.add((x[0][..., :half], x[1][..., :half]),
                   (x[0][..., half:], x[1][..., half:]))
+
+
+def _fixed_phase(engine, transcript, parts, nv, r0, degree, comb_key,
+                 part_comb, consts_dev, eq_info_rev, chals, log=None):
+    """Finish rounds r0.. on device with FIXED-width interleaved buffers.
+
+    One sums kernel + one interleaving fold kernel per protocol, reused
+    for EVERY remaining round (the numpy host tail cost ~7 s/step per
+    protocol at production scale; per-round shrink kernels would cost a
+    cold compile each).  parts: device (lo, hi) stacks of width F with the
+    UNFACTORED row semantics (eq row already E-scaled), dense at entry.
+    Fold re-spreads the halved actives at doubled stride with exact zeros
+    between (accel_t.interleave_fold_t invariant) so the sums over the
+    full buffer stay exact: every comb term contains a zero MLE factor at
+    inactive positions (run_sumcheck_fixed's argument).
+
+    Returns (proof, chals, final) — finishing the truncated-MLE
+    reconstruction rounds on host when the actives run out before nv
+    (trivial sizes)."""
+    k = sum(int(p[0].shape[0]) for p in parts)
+    F = int(parts[0][0].shape[-1])
+    nb = len(parts)
+    sums_jf = engine._jit(
+        (comb_key, "fixr", k, F, degree),
+        lambda ps, c: accel_t.sumcheck_sums_parts(ps, degree, part_comb, c,
+                                                  chunks=1))
+    fold_jf = engine._jit(("fixr_fold", comb_key, k, F, nb),
+                          accel_t.fold_round_parts,
+                          donate_argnums=tuple(range(1, 2 * nb + 1)))
+    active = F
+    r = r0
+    proof, out_chals = [], []
+    while r < nv and active > 1:
+        with B.jax_mode():
+            sums = sums_jf(parts, consts_dev)
+        ints = gl.to_int(engine.get(sums))
+        msg = [[int(v) for v in row] for row in ints]
+        c = _transcript_round(transcript, msg)
+        proof.append(msg)
+        out_chals.append(c)
+        flat = [a for p in parts for a in p]
+        with B.jax_mode():
+            parts = list(fold_jf(engine.put_small(_fq3_limbs(c)), *flat))
+        active //= 2
+        r += 1
+    # actives exhausted: the single live element of each row sits at
+    # buffer position 0 (stride invariant)
+    hosts = [engine.get(p) for p in parts]
+    final = (np.concatenate([np.asarray(h[0][..., 0]).reshape(-1, 24)
+                             for h in hosts]),
+             np.concatenate([np.asarray(h[1][..., 0]).reshape(-1, 24)
+                             for h in hosts]))
+    if r < nv:
+        act = (final[0].reshape(k, 24, 1), final[1].reshape(k, 24, 1))
+        tp, tc, final = accel_t._host_tail_from_t(
+            engine, transcript, act, nv, r, degree, comb_key, consts_dev,
+            eq_info_rev, list(chals) + out_chals)
+        proof.extend(tp)
+        out_chals.extend(tc)
+    return proof, out_chals, final
 
 
 # ---------------------------------------------------------------------------
@@ -293,33 +350,33 @@ def run_lin_rounds_factored(engine, transcript, g_t, nv, degree, comb_key,
             n_cur //= 2
         r += 1
 
-    # handoff: fetch, fold the pending challenge on host, convert the
-    # factored state back to the unfactored stack (eq row = E * T, where T
-    # is the pair-summed table — already at the folded size)
-    mz_host = engine.get(mz)
-    eq_host = engine.get(eq)
-    with B.numpy_mode():
-        if r > 0:
-            mz_host = _fold_t(mz_host, r3_prev)
-    eq_scaled = _scale_rows_host(eq_host, E)
-    stack = (np.concatenate([np.asarray(mz_host[0]),
-                             np.asarray(eq_scaled[0])[None]]),
-             np.concatenate([np.asarray(mz_host[1]),
-                             np.asarray(eq_scaled[1])[None]]))
+    # handoff to the fixed-width device phase: fold the pending challenge,
+    # scale the pair-sum table by E (the unfactored eq row equals E * T),
+    # and stack back into the [Mz..., eq] layout — all in one kernel
+    fold_pending = r > 0
 
-    if r < nv:
-        part_comb = (lambda vals, c: comb_t(vals[0], c))
-        tail_proof, tail_chals, final = accel_t._host_tail_t(
-            engine, transcript, [stack], nv, r, degree, comb_key,
-            part_comb, consts_dev, (beta_s, t_rows), chals, log=log)
-        proof.extend(tail_proof)
-        chals.extend(tail_chals)
-    else:
-        final = (stack[0][..., 0], stack[1][..., 0])
+    def fix_entry(mz, eq, r3, E3):
+        if fold_pending:
+            mz = _fold_t(mz, r3)
+        eqr = rq.ntt_scalar_mul_t(eq, E3)
+        return (B.xp.concatenate([mz[0], eqr[0][None]]),
+                B.xp.concatenate([mz[1], eqr[1][None]]))
+
+    jfix = engine._jit((comb_key, "fixentry", t_rows, n_cur, fold_pending),
+                       fix_entry, donate_argnums=(0, 1))
+    with B.jax_mode():
+        stack = jfix(mz, eq, r3_prev, _fq3_limbs(E))
+
+    part_comb = (lambda vals, c: comb_t(vals[0], c))
+    tail_proof, tail_chals, final = _fixed_phase(
+        engine, transcript, [stack], nv, r, degree, comb_key, part_comb,
+        consts_dev, (beta_s, t_rows), chals, log=log)
+    proof.extend(tail_proof)
+    chals.extend(tail_chals)
     final = (np.asarray(final[0]).reshape(-1, 24),
              np.asarray(final[1]).reshape(-1, 24))
     if log:
-        log(f"lin rounds ({r} dev + {nv-r} host): "
+        log(f"lin rounds ({r} dev + {nv-r} fixed): "
             f"{time.time()-t_start:.2f}s")
     return proof, chals, final
 
@@ -493,39 +550,37 @@ def run_fold_rounds_factored(engine, transcript, parts, nv, degree,
             n_cur //= 2
         r += 1
 
-    # handoff -> unfactored [head5, tail] parts on host (eq rows = E * T)
-    t_host = engine.get(t_s)
-    c_host = engine.get(c2r)
-    eq_host = engine.get(eqs)
-    with B.numpy_mode():
-        if r > 0:
-            t_host = _fold_t(t_host, r3_prev)
-            c_host = _fold_t(c_host, r3_prev)
-    eq_sc = [_scale_rows_host((np.asarray(eq_host[0][i]),
-                               np.asarray(eq_host[1][i])), E[i])
-             for i in range(3)]
-    c_lo, c_hi = np.asarray(c_host[0]), np.asarray(c_host[1])
-    head_pack = (
-        np.stack([np.asarray(eq_sc[0][0]), c_lo[0], np.asarray(eq_sc[1][0]),
-                  c_lo[1], np.asarray(eq_sc[2][0])]),
-        np.stack([np.asarray(eq_sc[0][1]), c_hi[0], np.asarray(eq_sc[1][1]),
-                  c_hi[1], np.asarray(eq_sc[2][1])]))
-    tail_pack = (np.asarray(t_host[0]), np.asarray(t_host[1]))
+    # handoff to the fixed-width device phase: fold the pending challenge
+    # into the f_hat/c rows, scale the three pair-sum tables by E_tbl, and
+    # reassemble the unfactored [head5, tail] parts — all in one kernel
+    fold_pending = r > 0
 
-    if r < nv:
-        tail_proof, tail_chals, final = accel_t._host_tail_t(
-            engine, transcript, [head_pack, tail_pack], nv, r, degree,
-            comb_key, comb_t, consts_dev, None, chals, log=log)
-        proof.extend(tail_proof)
-        chals.extend(tail_chals)
-    else:
-        final = (np.concatenate([head_pack[0][..., 0],
-                                 tail_pack[0][..., 0]]),
-                 np.concatenate([head_pack[1][..., 0],
-                                 tail_pack[1][..., 0]]))
+    def fix_entry(t_s, c2r, eqs, r3, E3s):
+        if fold_pending:
+            t_s = _fold_t(t_s, r3)
+            c2r = _fold_t(c2r, r3)
+        eqr = [rq.ntt_scalar_mul_t((eqs[0][i], eqs[1][i]), E3s[i])
+               for i in range(3)]
+        head = (B.xp.stack([eqr[0][0], c2r[0][0], eqr[1][0],
+                            c2r[0][1], eqr[2][0]]),
+                B.xp.stack([eqr[0][1], c2r[1][0], eqr[1][1],
+                            c2r[1][1], eqr[2][1]]))
+        return head, t_s
+
+    jfix = engine._jit((comb_key, "fixentry", rows, n_cur, fold_pending),
+                       fix_entry, donate_argnums=(0, 1, 2))
+    with B.jax_mode():
+        head_f, tail_f = jfix(t_s, c2r, eqs, r3_prev,
+                              [_fq3_limbs(e) for e in E])
+
+    tail_proof, tail_chals, final = _fixed_phase(
+        engine, transcript, [head_f, tail_f], nv, r, degree, comb_key,
+        comb_t, consts_dev, None, chals, log=log)
+    proof.extend(tail_proof)
+    chals.extend(tail_chals)
     final = (np.asarray(final[0]).reshape(-1, 24),
              np.asarray(final[1]).reshape(-1, 24))
     if log:
-        log(f"fold rounds ({r} dev + {nv-r} host): "
+        log(f"fold rounds ({r} dev + {nv-r} fixed): "
             f"{time.time()-t_start:.2f}s")
     return proof, chals, final

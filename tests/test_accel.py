@@ -18,6 +18,11 @@ PARAMS = DecompositionParams(B=TEST_B, L=TEST_L, B_SMALL=TEST_B_SMALL,
                              K=TEST_K)
 
 
+# XLA-compile-heavy tier: minutes on a small host (run with -m 'not slow'
+# for the fast host-math tier; the full suite still runs these by default)
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def setup():
     ccs = get_test_ccs()

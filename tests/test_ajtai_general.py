@@ -25,6 +25,13 @@ PARAMS = DecompositionParams(B=TEST_B, L=TEST_L, B_SMALL=TEST_B_SMALL,
                              K=TEST_K)
 
 
+import pytest
+
+# XLA-compile-heavy tier: minutes on a small host (run with -m 'not slow'
+# for the fast host-math tier; the full suite still runs these by default)
+pytestmark = pytest.mark.slow
+
+
 def test_general_commit_matches_int_oracle():
     kappa, n = 3, 7
     scheme = AjtaiScheme.from_seed_general(kappa, n, seed=5)

@@ -5,6 +5,13 @@ values, transcript state, Ajtai commitment)."""
 from latticeum_tpu import backend as B
 
 
+import pytest
+
+# XLA-compile-heavy tier: minutes on a small host (run with -m 'not slow'
+# for the fast host-math tier; the full suite still runs these by default)
+pytestmark = pytest.mark.slow
+
+
 def test_sharded_fold_sumcheck_matches_single_device():
     B.use_jax()
     try:

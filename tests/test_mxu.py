@@ -15,6 +15,13 @@ P = gl.P
 RNG = np.random.default_rng(7)
 
 
+import pytest
+
+# XLA-compile-heavy tier: minutes on a small host (run with -m 'not slow'
+# for the fast host-math tier; the full suite still runs these by default)
+pytestmark = pytest.mark.slow
+
+
 def _rand_rings(*shape):
     vals = (RNG.integers(0, 1 << 62, size=shape + (24,), dtype=np.uint64)
             .astype(object) * 4 + RNG.integers(0, 4, size=shape + (24,))
