@@ -8,16 +8,16 @@ complete NIFS — linearization, decomposition, folding, composition, and
 their verifiers — parameterized by a CyclotomicModel (D, N slots, slot
 degree d), at host scale for the toy CCS.
 
-Representation: a ring element is a tuple of N slot tuples (each d ints) —
-the model's CRT domain.  Sum-check/folding challenges are slot-FIELD
-elements; models with d == 1 (StarkPrime: 16 slots of plain Fq) embed them
-exactly (the same scalar in every slot).  Models whose d > 1 slots are
-non-normalized (BabyBear Fq9, Frog Fq4, the models.py Goldilocks) would
-need the reference's per-model normalization isomorphisms
-(models/<ring>/ntt.rs homogenize analogs) for a sound cross-slot embedding
-— the production Goldilocks path has them (ring/ref_impl.py); porting the
-BabyBear/Frog Sage-derived constants is mechanical and out of scope here
-(documented in COMPONENTS.md).
+Representation: a ring element is a tuple of N slot tuples (each d ints) in
+the model's NORMALIZED CRT domain: every slot is an element of the single
+common extension field F = Fq[Y]/(Y^d - W) via the per-slot homogenization
+isomorphisms (models.py crt_h/icrt_h — the reference's models/<ring>/ntt.rs
+homogenize_fq9/fq3 analogs, with the isomorphism constants COMPUTED by
+d-th-root finding instead of transcribed from Sage; the ring-isomorphism
+property is pinned by tests/test_ring_models.py).  Sum-check/folding
+challenges are F elements (d == 1 models keep plain Fq ints); the diagonal
+embedding c -> (c, ..., c) is the canonical Fq^d-algebra map in the
+normalized domain, exactly as the reference embeds BaseRing challenges.
 
 Fiat-Shamir here is a SHA-256 chain — the generic layer tests protocol
 math, not transcript parity (the production transcript is Poseidon2,
@@ -42,6 +42,9 @@ class GRing:
         self.N = model.N
         self.d = model.d
         self.D = model.D
+        assert model.has_hom, \
+            f"{model.name}: no p-1 factorization for homogenization"
+        self.F = model.F
 
     # construction
     def zero(self):
@@ -52,16 +55,16 @@ class GRing:
         return tuple(tuple([c] + [0] * (self.d - 1)) for _ in range(self.N))
 
     def from_coeffs(self, coeffs):
-        return tuple(tuple(s) for s in self.m.crt(list(coeffs)))
+        return tuple(tuple(s) for s in self.m.crt_h(list(coeffs)))
 
     def to_coeffs(self, x):
-        return self.m.icrt([list(s) for s in x])
+        return self.m.icrt_h([list(s) for s in x])
 
     def scalar(self, c):
-        """Slot-field scalar challenge -> ring (requires d == 1 for a sound
-        cross-slot embedding; see module docstring)."""
-        assert self.d == 1, "scalar embedding needs slot degree 1"
-        return self.from_u64(c)
+        """Slot-field element -> ring: the diagonal embedding (sound in the
+        normalized domain — every slot is the same field F)."""
+        t = self.F.of(c)
+        return tuple(t for _ in range(self.N))
 
     # arithmetic
     def add(self, a, b):
@@ -76,7 +79,7 @@ class GRing:
         return tuple(tuple((-x) % self.p for x in s) for s in a)
 
     def mul(self, a, b):
-        return tuple(tuple(s) for s in self.m.slot_mul(
+        return tuple(tuple(s) for s in self.m.slot_mul_h(
             [list(s) for s in a], [list(s) for s in b]))
 
     def ssum(self, elems):
@@ -119,7 +122,14 @@ class ShaTranscript:
         return int.from_bytes(out[:nbytes], "big")
 
     def challenge_scalar(self):
-        """Slot-field challenge (d == 1: an Fq scalar)."""
+        """Slot-FIELD challenge: an Fq int when d == 1, else a d-tuple."""
+        if self.r.d == 1:
+            return self._squeeze_int() % self.r.p
+        return tuple(self._squeeze_int() % self.r.p
+                     for _ in range(self.r.d))
+
+    def rand_fq(self):
+        """A plain base-field scalar (matrix sampling etc.)."""
         return self._squeeze_int() % self.r.p
 
     def short_challenge_coeffs(self, bound=2):
@@ -170,18 +180,20 @@ def evaluate_mle(ring, mle, point_rings):
 
 
 def interpolate_uni(ring, evals, r_scalar):
-    """Lagrange over nodes 0..deg at the scalar challenge (ring values)."""
+    """Lagrange over nodes 0..deg at the slot-field challenge."""
+    F = ring.F
     p = ring.p
     n = len(evals)
     res = ring.zero()
+    rf = F.of(r_scalar)
     for i in range(n):
-        num, den = 1, 1
+        num, den = F.one(), 1
         for j in range(n):
             if j != i:
-                num = num * ((r_scalar - j) % p) % p
+                num = F.mul(num, F.sub(rf, j))
                 den = den * (i - j) % p
-        w = num * pow(den, p - 2, p) % p
-        res = ring.add(res, ring.mul(evals[i], ring.from_u64(w)))
+        w = F.mul(num, pow(den, p - 2, p))
+        res = ring.add(res, ring.mul(evals[i], ring.scalar(w)))
     return res
 
 
@@ -360,7 +372,7 @@ class GAjtai:
         for _ in range(kappa):
             row = []
             for _ in range(n):
-                coeffs = [t.challenge_scalar() for _ in range(ring.D)]
+                coeffs = [t.rand_fq() for _ in range(ring.D)]
                 row.append(ring.from_coeffs(coeffs))
             self.rows.append(row)
 
@@ -430,17 +442,20 @@ def lin_verify(ring, ccs, cm_i: GCCCS, proof, transcript):
                                       max(len(s) for s in ccs.S) + 1,
                                       ring.zero(), proof["sumcheck"])
     # eq(beta, r) * sum_i c_i prod u_j == expected
-    p = ring.p
-    e = 1
+    F = ring.F
+    e = F.one()
     for b, r in zip(beta, chals):
-        e = e * ((b * r + (1 - b) * (1 - r)) % p) % p
+        # eq factor: b*r + (1-b)(1-r) = 1 - b - r + 2br
+        br = F.mul(b, r)
+        e = F.mul(e, F.add(F.sub(F.sub(F.one(), F.of(b)), F.of(r)),
+                           F.add(br, br)))
     acc = ring.zero()
     for i, S_i in enumerate(ccs.S):
         prod = ccs.c[i]
         for j in S_i:
             prod = ring.mul(prod, proof["u"][j])
         acc = ring.add(acc, prod)
-    if ring.mul(acc, ring.from_u64(e)) != expected:
+    if ring.mul(acc, ring.scalar(e)) != expected:
         raise ValueError("linearization evaluation claim failed")
     transcript.absorb_rings(proof["v"])
     transcript.absorb_rings(proof["u"])
@@ -561,28 +576,29 @@ def _squeeze_fold_challenges(ring, transcript, nv, K):
 
 def _claims(ring, alpha, zeta, cm_i_s):
     g1, g3 = ring.zero(), ring.zero()
-    p = ring.p
+    F = ring.F
     for i, cm in enumerate(cm_i_s):
-        pw = alpha[i]
+        pw = F.of(alpha[i])
         for v in cm.v:
-            g1 = ring.add(g1, ring.mul(v, ring.from_u64(pw)))
-            pw = pw * alpha[i] % p
-        pw = zeta[i]
+            g1 = ring.add(g1, ring.mul(v, ring.scalar(pw)))
+            pw = F.mul(pw, alpha[i])
+        pw = F.of(zeta[i])
         for u in cm.u:
-            g3 = ring.add(g3, ring.mul(u, ring.from_u64(pw)))
-            pw = pw * zeta[i] % p
+            g3 = ring.add(g3, ring.mul(u, ring.scalar(pw)))
+            pw = F.mul(pw, zeta[i])
     return g1, g3
 
 
 def rot_sum(ring, rho_coeffs, b_slot_scalars):
-    """RotSum (rotation.rs:45-61) generically: D slot-scalar coefficients of
-    sum_i b_i * coeffs(X^i rho), accumulated in the slot-scalar domain."""
-    p = ring.p
-    acc = [0] * ring.D
+    """RotSum (rotation.rs:45-61) generically: D slot-FIELD coefficients of
+    sum_i b_i * coeffs(X^i rho) — rho's base-prime coefficients lift into
+    the slot field and scale the field values b_i."""
+    F = ring.F
+    acc = [F.zero()] * ring.D
     cur = list(rho_coeffs)
     for b in b_slot_scalars:
-        for j in range(ring.D):
-            acc[j] = (acc[j] + cur[j] * b) % p
+        bf = F.of(b)
+        acc = [F.add(a, F.mul(F.of(c), bf)) for a, c in zip(acc, cur)]
         cur = ring.rot_coeffs(cur)
     return acc
 
@@ -599,22 +615,24 @@ def fold_prove(ring, ccs, cm_i_s, wit_s, z_s, params, transcript):
     eq_r2 = build_eq_table(ring, r2)
     eq_b = build_eq_table(ring, [ring.scalar(b) for b in beta])
 
+    F = ring.F
+
     def combined_half(lo, hi):
         acc = [ring.zero() for _ in range(ccs.m)]
         for i in range(lo, hi):
-            pw = alpha[i]
+            pw = F.of(alpha[i])
             for fh in wit_s[i].f_hat:
+                pr = ring.scalar(pw)
                 for r in range(ccs.m):
-                    acc[r] = ring.add(acc[r], ring.mul(
-                        fh[r], ring.from_u64(pw)))
-                pw = pw * alpha[i] % p
-            pw = zeta[i]
+                    acc[r] = ring.add(acc[r], ring.mul(fh[r], pr))
+                pw = F.mul(pw, alpha[i])
+            pw = F.of(zeta[i])
             for j in range(ccs.t):
                 mz = ccs.matvec(ring, j, z_s[i])
+                pr = ring.scalar(pw)
                 for r in range(ccs.m):
-                    acc[r] = ring.add(acc[r], ring.mul(
-                        mz[r], ring.from_u64(pw)))
-                pw = pw * zeta[i] % p
+                    acc[r] = ring.add(acc[r], ring.mul(mz[r], pr))
+                pw = F.mul(pw, zeta[i])
         return acc
 
     c1 = combined_half(0, K)
@@ -628,7 +646,7 @@ def fold_prove(ring, ccs, cm_i_s, wit_s, z_s, params, transcript):
         eqb = vals[4]
         for i in range(2 * K):
             inter = ring.zero()
-            pw = mu[i]
+            pw = F.of(mu[i])
             for dd in range(tau):
                 f = vals[5 + i * tau + dd]
                 ev = eqb
@@ -636,8 +654,8 @@ def fold_prove(ring, ccs, cm_i_s, wit_s, z_s, params, transcript):
                     bb = ring.from_u64(b * b)
                     ev = ring.mul(ev, ring.sub(ring.mul(f, f), bb))
                 ev = ring.mul(ev, f)
-                inter = ring.add(inter, ring.mul(ev, ring.from_u64(pw)))
-                pw = pw * mu[i] % p
+                inter = ring.add(inter, ring.mul(ev, ring.scalar(pw)))
+                pw = F.mul(pw, mu[i])
             res = ring.add(res, inter)
         return res
 
@@ -672,17 +690,21 @@ def fold_prove(ring, ccs, cm_i_s, wit_s, z_s, params, transcript):
 def _fold_outputs(ring, ccs, rho_coeffs, rho, theta_s, cm_i_s, eta_s,
                   chals, tau):
     p = ring.p
-    # v_0 = rot_lin_combination over flattened thetas (slot scalars)
-    acc = [0] * ring.D
+    F = ring.F
+    # v_0 = rot_lin_combination over flattened thetas: each theta ring
+    # element flattens into its N slot-FIELD values (rotation.rs:84-104:
+    # flatten_to_coeffs yields tau*N BaseRing elements = D), rot_sum
+    # accumulates D field values, regrouped into tau ring elements
+    acc = [F.zero()] * ring.D
     for rc, thetas in zip(rho_coeffs, theta_s):
         flat = []
         for th in thetas:
             for s in th:
-                assert len(s) == 1
-                flat.append(s[0])
+                flat.append(tuple(s))
+        assert len(flat) == tau * ring.N == ring.D  # tau = d
         rs = rot_sum(ring, [c % p for c in rc], flat)
-        acc = [(a + x) % p for a, x in zip(acc, rs)]
-    v_0 = [tuple(tuple([acc[j * ring.N + s]]) for s in range(ring.N))
+        acc = [F.add(a, x) for a, x in zip(acc, rs)]
+    v_0 = [tuple(tuple(F.of(acc[j * ring.N + s])) for s in range(ring.N))
            for j in range(tau)]
     kappa = len(cm_i_s[0].cm)
     cm_0 = [ring.ssum([ring.mul(cm_i_s[i].cm[k], rho[i])
@@ -707,10 +729,14 @@ def fold_verify(ring, ccs, cm_i_s, proof, params, transcript):
     chals, expected = sumcheck_verify(ring, transcript, nv, 2 * b_small,
                                       claim, proof["sumcheck"])
 
+    F = ring.F
+
     def eq_eval(xs, ys):
-        e = 1
+        e = F.one()
         for x, y in zip(xs, ys):
-            e = e * ((x * y + (1 - x) * (1 - y)) % p) % p
+            xy = F.mul(x, y)
+            e = F.mul(e, F.add(F.sub(F.sub(F.one(), F.of(x)), F.of(y)),
+                               F.add(xy, xy)))
         return e
 
     e_ast = eq_eval(beta, chals)
@@ -718,26 +744,26 @@ def fold_verify(ring, ccs, cm_i_s, proof, params, transcript):
     should = ring.zero()
     for i in range(2 * K):
         s1 = ring.zero()
-        pw = alpha[i]
+        pw = F.of(alpha[i])
         for th in proof["theta_s"][i]:
-            s1 = ring.add(s1, ring.mul(th, ring.from_u64(pw * e_s[i] % p)))
-            pw = pw * alpha[i] % p
+            s1 = ring.add(s1, ring.mul(th, ring.scalar(F.mul(pw, e_s[i]))))
+            pw = F.mul(pw, alpha[i])
         s2 = ring.zero()
-        pw = mu[i]
+        pw = F.of(mu[i])
         for th in proof["theta_s"][i]:
             prod = th
             for b in range(1, b_small):
                 jb = ring.from_u64(b)
                 prod = ring.mul(prod, ring.mul(ring.sub(th, jb),
                                                ring.add(th, jb)))
-            s2 = ring.add(s2, ring.mul(prod, ring.from_u64(pw)))
-            pw = pw * mu[i] % p
-        s2 = ring.mul(s2, ring.from_u64(e_ast))
+            s2 = ring.add(s2, ring.mul(prod, ring.scalar(pw)))
+            pw = F.mul(pw, mu[i])
+        s2 = ring.mul(s2, ring.scalar(e_ast))
         s3 = ring.zero()
-        pw = zeta[i]
+        pw = F.of(zeta[i])
         for et in proof["eta_s"][i]:
-            s3 = ring.add(s3, ring.mul(et, ring.from_u64(pw * e_s[i] % p)))
-            pw = pw * zeta[i] % p
+            s3 = ring.add(s3, ring.mul(et, ring.scalar(F.mul(pw, e_s[i]))))
+            pw = F.mul(pw, zeta[i])
         should = ring.add(should, ring.add(ring.add(s1, s2), s3))
     if should != expected:
         raise ValueError("folding evaluation claim failed")

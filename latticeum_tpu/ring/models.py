@@ -215,6 +215,49 @@ class CyclotomicModel:
         return self.icrt(self.slot_mul(self.crt(a_coeffs),
                                        self.crt(b_coeffs)))
 
+    # -- normalized (homogenized) slot domain --------------------------------
+    @property
+    def has_hom(self):
+        return self.p in PM1_FACTORS or self.d == 1
+
+    def _hom(self):
+        if not hasattr(self, "_hom_cache"):
+            self._hom_cache = _hom_setup(self)
+        return self._hom_cache
+
+    @property
+    def F(self):
+        """The common slot field Fq[Y]/(Y^d - W), W = slot_roots[0]."""
+        if self.d == 1:
+            return SlotField(self.p, 1, self.slot_roots[0])
+        return self._hom()[0]
+
+    def crt_h(self, coeffs):
+        """CRT + per-slot homogenization: N slots, each an F element
+        (the reference's serial_*_crt_in_place incl. homogenize)."""
+        if self.d == 1:
+            return self.crt(coeffs)
+        _, homs, _ = self._hom()
+        return [list(_matvec_mod(homs[i], s, self.p))
+                for i, s in enumerate(self.crt(coeffs))]
+
+    def icrt_h(self, slots):
+        if self.d == 1:
+            return self.icrt(slots)
+        _, _, dehoms = self._hom()
+        raw = [list(_matvec_mod(dehoms[i], s, self.p))
+               for i, s in enumerate(slots)]
+        return self.icrt(raw)
+
+    def slot_mul_h(self, s_a, s_b):
+        """Slotwise product in the NORMALIZED domain: every slot multiplies
+        in the same field F (crt_h is a ring isomorphism, so this equals
+        poly_mul through crt_h/icrt_h — property-pinned)."""
+        if self.d == 1:
+            return self.slot_mul(s_a, s_b)
+        F = self.F
+        return [list(F.mul(a, b)) for a, b in zip(s_a, s_b)]
+
     # -- sampling / decomposition --------------------------------------------
     def challenge_byte_size(self):
         """FromRandomBytes byte size: D coefficients x field bytes
@@ -249,6 +292,190 @@ class CyclotomicModel:
             for i in range(self.D):
                 out[i] = (out[i] + dig[i] * w) % self.p
         return out
+
+
+# -- slot-field normalization (homogenize analogs) ---------------------------
+#
+# The reference's CRT ends with per-slot isomorphisms into ONE extension
+# field Fq[Y]/(Y^d - W) (models/babybear/ntt.rs:326-437 homogenize_fq9,
+# goldilocks/ntt.rs homogenize_fq3): slot i's residue ring Fq[X]/(X^d - r_i)
+# maps by X -> rho_i where rho_i is a root of X^d - r_i in the common field.
+# The reference bakes Sage-derived constants; here the rho_i are computed
+# (d-th roots via Pohlig-Hellman discrete logs — the model fields' p-1 are
+# smooth) and the isomorphism property is pinned by tests instead.
+
+class SlotField:
+    """Fq[Y]/(Y^d - W): the common (normalized) slot extension field."""
+
+    def __init__(self, p: int, d: int, W: int):
+        self.p, self.d, self.W = p, d, W % p
+
+    def zero(self):
+        return (0,) * self.d
+
+    def one(self):
+        return (1,) + (0,) * (self.d - 1)
+
+    def of(self, x):
+        """int or d-tuple -> canonical d-tuple."""
+        if isinstance(x, (int,)):
+            return (x % self.p,) + (0,) * (self.d - 1)
+        t = tuple(int(v) % self.p for v in x)
+        assert len(t) == self.d
+        return t
+
+    def add(self, a, b):
+        a, b = self.of(a), self.of(b)
+        return tuple((x + y) % self.p for x, y in zip(a, b))
+
+    def sub(self, a, b):
+        a, b = self.of(a), self.of(b)
+        return tuple((x - y) % self.p for x, y in zip(a, b))
+
+    def mul(self, a, b):
+        a, b = self.of(a), self.of(b)
+        p, d, W = self.p, self.d, self.W
+        conv = [0] * (2 * d - 1)
+        for i, ai in enumerate(a):
+            if ai:
+                for j, bj in enumerate(b):
+                    conv[i + j] = (conv[i + j] + ai * bj) % p
+        res = list(conv[:d])
+        for i in range(d, 2 * d - 1):
+            res[i - d] = (res[i - d] + W * conv[i]) % p
+        return tuple(res)
+
+    def pow(self, a, e: int):
+        r = self.one()
+        b = self.of(a)
+        e = int(e)
+        while e:
+            if e & 1:
+                r = self.mul(r, b)
+            b = self.mul(b, b)
+            e >>= 1
+        return r
+
+    def inv(self, a):
+        # field inverse via a^(p^d - 2)
+        return self.pow(a, self.p ** self.d - 2)
+
+
+def _bsgs_dlog(g, h, n, p):
+    """x with g^x = h (ord(g) = n), baby-step giant-step."""
+    m = int(n ** 0.5) + 1
+    table = {}
+    cur = 1
+    for j in range(m):
+        table.setdefault(cur, j)
+        cur = cur * g % p
+    gm_inv = pow(pow(g, m, p), p - 2, p)
+    cur = h % p
+    for i in range(m):
+        if cur in table:
+            return (i * m + table[cur]) % n
+        cur = cur * gm_inv % p
+    raise ValueError("dlog not found")
+
+
+def _pohlig_hellman(g, h, p, factors):
+    """dlog of h base g in Fp* (order p-1 with the given prime factors)."""
+    n = p - 1
+    residues, moduli = [], []
+    for q in sorted(set(factors)):
+        e = 0
+        m = n
+        while m % q == 0:
+            e += 1
+            m //= q
+        qe = q ** e
+        gq = pow(g, n // qe, p)
+        hq = pow(h, n // qe, p)
+        # solve in the order-qe subgroup digit by digit
+        x = 0
+        gamma = pow(gq, q ** (e - 1), p)        # order q
+        for k in range(e):
+            hk = pow(hq * pow(gq, (-x) % n, p) % p, q ** (e - 1 - k), p)
+            dk = _bsgs_dlog(gamma, hk, q, p)
+            x += dk * (q ** k)
+        residues.append(x % qe)
+        moduli.append(qe)
+    # CRT combine (factor list must cover p - 1 completely)
+    x, M = 0, 1
+    for r, m in zip(residues, moduli):
+        t = (r - x) * pow(M, -1, m) % m
+        x = x + M * t
+        M *= m
+    assert M == n, "incomplete p-1 factorization"
+    return x % n
+
+
+def _dth_root(t, d, p, factors):
+    """u with u^d = t mod p, or None.  Needs the prime factors of p-1."""
+    t %= p
+    if t == 0:
+        return 0
+    # find a generator
+    n = p - 1
+    qs = sorted(set(factors))
+    g = None
+    for cand in range(2, 1000):
+        if all(pow(cand, n // q, p) != 1 for q in qs):
+            g = cand
+            break
+    assert g is not None
+    e = _pohlig_hellman(g, t, p, qs)
+    gcd_ = __import__("math").gcd(d, n)
+    if e % gcd_:
+        return None
+    # solve d*x = e (mod n)
+    d2, e2, n2 = d // gcd_, e // gcd_, n // gcd_
+    x = e2 * pow(d2, -1, n2) % n2
+    return pow(g, x, p)
+
+
+PM1_FACTORS = {
+    # p - 1 prime factors (enables computed homogenization isomorphisms)
+    BABYBEAR_P: [2, 3, 5],
+    GOLDILOCKS_P: [2, 3, 5, 17, 257, 65537],
+}
+
+
+def _hom_setup(model):
+    """Per-slot isomorphism matrices slot_i <-> Fq[Y]/(Y^d - W), W = r_0.
+
+    hom_i: coords of a(X) mod (X^d - r_i) -> coords of a(rho_i) in the
+    Y-basis, where rho_i^d = r_i in the common field.  Returns
+    (SlotField, [d x d hom matrices], [inverse matrices])."""
+    p, d = model.p, model.d
+    W = model.slot_roots[0] % p
+    F = SlotField(p, d, W)
+    factors = PM1_FACTORS[p]
+    homs, dehoms = [], []
+    for r in model.slot_roots:
+        rho = None
+        for a in range(d):
+            # try rho = Y^a * u with u^d = r / W^a in Fq
+            t = r * pow(pow(W, a, p), p - 2, p) % p
+            u = _dth_root(t, d, p, factors)
+            if u is not None:
+                rho = tuple((u if j == a else 0) for j in range(d))
+                break
+        assert rho is not None, f"no d-th root structure for slot root {r}"
+        assert F.pow(rho, d) == F.of(r), "rho^d != r"
+        # columns: rho^j coordinates
+        pows = [F.one()]
+        for _ in range(1, d):
+            pows.append(F.mul(pows[-1], rho))
+        M = [[pows[j][i] for j in range(d)] for i in range(d)]   # (d, d)
+        homs.append(M)
+        dehoms.append(_invert_mod(M, p))
+    return F, homs, dehoms
+
+
+def _matvec_mod(M, v, p):
+    return tuple(sum(M[i][j] * v[j] for j in range(len(v))) % p
+                 for i in range(len(v)))
 
 
 def _invert_mod(A, p):

@@ -182,13 +182,16 @@ def _fixed_phase(engine, transcript, parts, nv, r0, degree, comb_key,
     fold_jf = engine._jit(("fixr_fold", comb_key, k, F, nb),
                           accel_t.fold_round_parts,
                           donate_argnums=tuple(range(1, 2 * nb + 1)))
+    import time as _time
+    t_fx = _time.time()
     active = F
     r = r0
     proof, out_chals = [], []
     while r < nv and active > 1:
         with B.jax_mode():
             sums = sums_jf(parts, consts_dev)
-        ints = gl.to_int(engine.get(sums))
+        import jax as _jax
+        ints = gl.to_int(_jax.device_get(sums))
         msg = [[int(v) for v in row] for row in ints]
         c = _transcript_round(transcript, msg)
         proof.append(msg)
@@ -198,13 +201,20 @@ def _fixed_phase(engine, transcript, parts, nv, r0, degree, comb_key,
             parts = list(fold_jf(engine.put_small(_fq3_limbs(c)), *flat))
         active //= 2
         r += 1
+    if log:
+        log(f"      fixed phase r{r0}..{r}: {_time.time()-t_fx:.3f}s")
     # actives exhausted: the single live element of each row sits at
-    # buffer position 0 (stride invariant)
-    hosts = [engine.get(p) for p in parts]
-    final = (np.concatenate([np.asarray(h[0][..., 0]).reshape(-1, 24)
-                             for h in hosts]),
-             np.concatenate([np.asarray(h[1][..., 0]).reshape(-1, 24)
-                             for h in hosts]))
+    # buffer position 0 (stride invariant) — slice it out ON DEVICE before
+    # fetching (the full fixed-width buffers are ~10 MB and the tunnel
+    # moves ~20 MB/s; the finals are 24 KB)
+    fin_jf = engine._jit(
+        ("fix_fin", comb_key, k, F, nb),
+        lambda ps: (B.xp.concatenate([p[0][..., 0] for p in ps]),
+                    B.xp.concatenate([p[1][..., 0] for p in ps])))
+    import jax as _jax
+    with B.jax_mode():
+        final = fin_jf(parts)
+    final = tuple(np.asarray(a) for a in _jax.device_get(final))
     if r < nv:
         act = (final[0].reshape(k, 24, 1), final[1].reshape(k, 24, 1))
         tp, tc, final = accel_t._host_tail_from_t(
@@ -244,6 +254,9 @@ def run_lin_rounds_factored(engine, transcript, g_t, nv, degree, comb_key,
     assert all(len(S_i) >= 1 for S_i in S), \
         "factored lin comb needs non-empty multisets (builder invariant)"
 
+    # component-form comb bodies only off-CPU (XLA:CPU compiles that form
+    # pathologically — minutes/livelock; packed ntt_mul_t ops there)
+    comp_split = engine.jax.default_backend() != "cpu"
     groups = {}
     for i, S_i in enumerate(S):
         groups.setdefault(len(S_i), []).append((i, list(S_i)))
@@ -290,25 +303,67 @@ def run_lin_rounds_factored(engine, transcript, g_t, nv, degree, comb_key,
                     return jax.lax.dynamic_slice(x, (0, 0, off),
                                                  (t_rows, 24, cs))
 
+                from ..field import fq3
                 v0 = (dsl(mz[0], j * cs), dsl(mz[1], j * cs))
                 v1 = (dsl(mz[0], half + j * cs), dsl(mz[1], half + j * cs))
                 step = gl.sub(v1, v0)
                 vals = gl.add(v0, gl.mul(step, (tl, tz)))
-                total = None
-                for iidx, jidx in group_list:
-                    glo, ghi = vals[0][jidx], vals[1][jidx]
-                    prod = (glo[:, 0], ghi[:, 0])
-                    for s in range(1, jidx.shape[1]):
-                        prod = rq.ntt_mul_t(prod, (glo[:, s], ghi[:, s]))
-                    ci = (consts[0][iidx][..., None],
-                          consts[1][iidx][..., None])
-                    term = rq.ntt_mul_t(prod, ci)
-                    part = gl.sum_axis(term, axis=0)
-                    total = part if total is None else gl.add(total, part)
-                Tc = (jax.lax.dynamic_slice(Tn[0], (0, j * cs), (24, cs)),
-                      jax.lax.dynamic_slice(Tn[1], (0, j * cs), (24, cs)))
-                tot = rq.ntt_mul_t(total, Tc)
-                s = gl.sum_axis(tot, axis=-1)         # (24,)
+                if comp_split:
+                    # TPU: split Fq3 components ONCE (reshape-based) and
+                    # run the product chain in component form — saves the
+                    # 24->(8,3) retile every ntt_mul_t pays.  XLA:CPU
+                    # compiles this form pathologically (minutes/livelock,
+                    # r03-r04 post-mortems), so CPU keeps the packed ops.
+                    v3 = rq._as_slots_t(vals)
+                    c3 = rq._as_slots_t((consts[0][..., None],
+                                         consts[1][..., None]))
+                    total = None
+                    for iidx, jidx in group_list:
+                        g3 = tuple((v3[c][0][jidx], v3[c][1][jidx])
+                                   for c in range(3))
+                        prod = tuple((g3[c][0][:, 0], g3[c][1][:, 0])
+                                     for c in range(3))
+                        for s in range(1, jidx.shape[1]):
+                            prod = fq3.mul(
+                                prod, tuple((g3[c][0][:, s], g3[c][1][:, s])
+                                            for c in range(3)))
+                        cw = tuple((c3[c][0][iidx], c3[c][1][iidx])
+                                   for c in range(3))
+                        term = fq3.mul(prod, cw)
+                        part = tuple(gl.sum_axis(term[c], axis=0)
+                                     for c in range(3))
+                        total = (part if total is None
+                                 else fq3.add(total, part))
+                    Tc3 = rq._as_slots_t(
+                        (jax.lax.dynamic_slice(Tn[0], (0, j * cs), (24, cs)),
+                         jax.lax.dynamic_slice(Tn[1], (0, j * cs),
+                                               (24, cs))))
+                    tot = fq3.mul(total, Tc3)
+                    s3 = tuple(gl.sum_axis(tot[c], axis=-1)
+                               for c in range(3))
+                    s = rq._from_slots_t(tuple(
+                        ((x[0][..., None]), (x[1][..., None]))
+                        for x in s3))
+                    s = (s[0][..., 0], s[1][..., 0])      # (24,)
+                else:
+                    total = None
+                    for iidx, jidx in group_list:
+                        glo, ghi = vals[0][jidx], vals[1][jidx]
+                        prod = (glo[:, 0], ghi[:, 0])
+                        for s in range(1, jidx.shape[1]):
+                            prod = rq.ntt_mul_t(prod, (glo[:, s], ghi[:, s]))
+                        ci = (consts[0][iidx][..., None],
+                              consts[1][iidx][..., None])
+                        term = rq.ntt_mul_t(prod, ci)
+                        part = gl.sum_axis(term, axis=0)
+                        total = (part if total is None
+                                 else gl.add(total, part))
+                    Tc = (jax.lax.dynamic_slice(Tn[0], (0, j * cs),
+                                                (24, cs)),
+                          jax.lax.dynamic_slice(Tn[1], (0, j * cs),
+                                                (24, cs)))
+                    tot = rq.ntt_mul_t(total, Tc)
+                    s = gl.sum_axis(tot, axis=-1)         # (24,)
                 prev = (acc[0][pt], acc[1][pt])
                 nxt = gl.add(prev, s)
                 return (acc[0].at[pt].set(nxt[0]), acc[1].at[pt].set(nxt[1]))
@@ -333,11 +388,15 @@ def run_lin_rounds_factored(engine, transcript, g_t, nv, degree, comb_key,
         # mz/eq are consumed every round (rebound to the outputs): donate
         # so the fold reuses their HBM instead of holding both generations
         jf = engine._jit((comb_key, "linfr", t_rows, n_cur, fold_first,
-                          budget), make_round(n_cur, fold_first),
+                          budget, comp_split), make_round(n_cur, fold_first),
                          donate_argnums=(0, 1))
+        t_r = time.time()
         with B.jax_mode():
             mz, eq, Sq = jf(mz, eq, consts_dev, r3_prev)
-        S_pts = _rings_to_int(engine.get(Sq))
+        import jax as _jax
+        S_pts = _rings_to_int(_jax.device_get(Sq))
+        if log:
+            log(f"      lin dev r{r} (n={n_eff}): {time.time()-t_r:.3f}s")
         S_ext = _extend_host(S_pts, ext_q)
         w_t = [H.fq3_mul(E, _eqf_host(beta_s[r], t)) for t in range(n_msg)]
         msg = _weighted_msg([(w_t, S_ext)], n_msg)
@@ -412,13 +471,10 @@ def run_fold_rounds_factored(engine, transcript, parts, nv, degree,
 
     ext_h = _lagrange_ext_consts(npts_h, n_msg)
     ext_c = _lagrange_ext_consts(2, n_msg)
-    # b^2 range constants as (24, 1) limb columns (broadcast over rows/x)
-    bsq_l = []
-    for b in range(1, b_small):
-        v = [int(x) for x in H.ntt_from_u64(b * b)]
-        bsq_l.append((np.asarray([x & 0xFFFFFFFF for x in v],
-                                 np.uint32)[:, None],
-                      np.asarray([x >> 32 for x in v], np.uint32)[:, None]))
+    # b^2 range constants: base-field embeds live at slot component 0 only
+    bsq_c0 = [(np.uint32((b * b) % P & 0xFFFFFFFF),
+               np.uint32(((b * b) % P) >> 32)) for b in range(1, b_small)]
+    comp_split = engine.jax.default_backend() != "cpu"   # see lin runner
 
     transcript.absorb_u64(nv)
     transcript.absorb_u64(degree)
@@ -478,25 +534,61 @@ def run_fold_rounds_factored(engine, transcript, parts, nv, degree,
                     return jax.lax.dynamic_slice(x, (0, 0, off),
                                                  (rows, 24, cs))
 
+                from ..field import fq3
                 v0 = (dsl(t_s[0], j * cs), dsl(t_s[1], j * cs))
                 v1 = (dsl(t_s[0], half + j * cs), dsl(t_s[1], half + j * cs))
                 step = gl.sub(v1, v0)
                 vals = gl.add(v0, gl.mul(step, (tl, tz)))
-                f_sq = rq.ntt_mul_t(vals, vals)
-                ev = None
-                for bb in bsq_l:
-                    factor = gl.sub(f_sq, (jnp.broadcast_to(bb[0],
-                                                            f_sq[0].shape),
-                                           jnp.broadcast_to(bb[1],
-                                                            f_sq[1].shape)))
-                    ev = factor if ev is None else rq.ntt_mul_t(ev, factor)
-                ev = vals if ev is None else rq.ntt_mul_t(ev, vals)
-                ev = rq.ntt_scalar_mul_t(ev, mu_pow)   # mu_k^{d+1} per row
-                evs = gl.sum_axis(ev, axis=0)          # (24, cs)
-                Tbc = (jax.lax.dynamic_slice(Tb[0], (0, j * cs), (24, cs)),
-                       jax.lax.dynamic_slice(Tb[1], (0, j * cs), (24, cs)))
-                evs = rq.ntt_mul_t(evs, Tbc)
-                s = gl.sum_axis(evs, axis=-1)          # (24,)
+                if comp_split:
+                    # component form once per chunk (see the lin body note)
+                    v3 = rq._as_slots_t(vals)
+                    f_sq = fq3.mul(v3, v3)
+                    ev = None
+                    for bb0 in bsq_c0:
+                        # b^2 embeds at slot component 0 only
+                        factor = (gl.sub(f_sq[0], bb0), f_sq[1], f_sq[2])
+                        ev = factor if ev is None else fq3.mul(ev, factor)
+                    ev = v3 if ev is None else fq3.mul(ev, v3)
+                    mu3 = tuple((mu_pow[c][0][:, None, None],
+                                 mu_pow[c][1][:, None, None])
+                                for c in range(3))
+                    ev = fq3.mul(ev, mu3)              # mu_k^{d+1} per row
+                    evs = tuple(gl.sum_axis(ev[c], axis=0)
+                                for c in range(3))     # comps (8, cs)
+                    Tb3 = rq._as_slots_t(
+                        (jax.lax.dynamic_slice(Tb[0], (0, j * cs), (24, cs)),
+                         jax.lax.dynamic_slice(Tb[1], (0, j * cs),
+                                               (24, cs))))
+                    evs = fq3.mul(evs, Tb3)
+                    s3 = tuple(gl.sum_axis(evs[c], axis=-1)
+                               for c in range(3))
+                    s = rq._from_slots_t(tuple(
+                        ((x[0][..., None]), (x[1][..., None]))
+                        for x in s3))
+                    s = (s[0][..., 0], s[1][..., 0])   # (24,)
+                else:
+                    f_sq = rq.ntt_mul_t(vals, vals)
+                    ev = None
+                    for bb0 in bsq_c0:
+                        bb24 = (jnp.zeros((24, 1), jnp.uint32)
+                                .at[0::3].set(bb0[0]),
+                                jnp.zeros((24, 1), jnp.uint32)
+                                .at[0::3].set(bb0[1]))
+                        factor = gl.sub(
+                            f_sq, (jnp.broadcast_to(bb24[0], f_sq[0].shape),
+                                   jnp.broadcast_to(bb24[1],
+                                                    f_sq[1].shape)))
+                        ev = factor if ev is None else rq.ntt_mul_t(ev,
+                                                                    factor)
+                    ev = vals if ev is None else rq.ntt_mul_t(ev, vals)
+                    ev = rq.ntt_scalar_mul_t(ev, mu_pow)
+                    evs = gl.sum_axis(ev, axis=0)      # (24, cs)
+                    Tbc = (jax.lax.dynamic_slice(Tb[0], (0, j * cs),
+                                                 (24, cs)),
+                           jax.lax.dynamic_slice(Tb[1], (0, j * cs),
+                                                 (24, cs)))
+                    evs = rq.ntt_mul_t(evs, Tbc)
+                    s = gl.sum_axis(evs, axis=-1)      # (24,)
                 prev = (acc[0][pt], acc[1][pt])
                 nxt = gl.add(prev, s)
                 return (acc[0].at[pt].set(nxt[0]), acc[1].at[pt].set(nxt[1]))
@@ -504,7 +596,11 @@ def run_fold_rounds_factored(engine, transcript, parts, nv, degree,
             init = (jnp.zeros((npts_h, 24), jnp.uint32),
                     jnp.zeros((npts_h, 24), jnp.uint32))
             Sh = jax.lax.fori_loop(0, npts_h * chunks, body, init)
-            return t_s, c2r, Tn, Sh, Sc0, Sc1
+            # one packed sums output -> ONE host fetch per round (each
+            # separate fetch is a ~25 ms tunnel round trip)
+            S_all = (jnp.concatenate([Sh[0], Sc0[0], Sc1[0]]),
+                     jnp.concatenate([Sh[1], Sc0[1], Sc1[1]]))
+            return t_s, c2r, Tn, S_all
 
         return fn
 
@@ -522,13 +618,18 @@ def run_fold_rounds_factored(engine, transcript, parts, nv, degree,
         # alone is 2.3 GB at production scale — without donation two
         # generations coexist per round)
         jf = engine._jit((comb_key, "foldfr", rows, n_cur, fold_first,
-                          budget), make_round(n_cur, fold_first),
+                          budget, comp_split), make_round(n_cur, fold_first),
                          donate_argnums=(0, 1, 2))
+        t_r = time.time()
         with B.jax_mode():
-            t_s, c2r, eqs, Sh, Sc0, Sc1 = jf(t_s, c2r, eqs, mu_pow, r3_prev)
-        Sh_pts = _rings_to_int(engine.get(Sh))
-        sc0 = _rings_to_int(engine.get(Sc0))   # [table][slot]
-        sc1 = _rings_to_int(engine.get(Sc1))
+            t_s, c2r, eqs, S_all = jf(t_s, c2r, eqs, mu_pow, r3_prev)
+        import jax as _jax
+        all_pts = _rings_to_int(_jax.device_get(S_all))
+        if log:
+            log(f"      fold dev r{r} (n={n_eff}): {time.time()-t_r:.3f}s")
+        Sh_pts = all_pts[:npts_h]
+        sc0 = all_pts[npts_h:npts_h + 2]       # [table][slot]
+        sc1 = all_pts[npts_h + 2:npts_h + 4]
         Sh_ext = _extend_host(Sh_pts, ext_h)
         terms = []
         for tbl in range(2):

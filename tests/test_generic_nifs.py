@@ -14,8 +14,11 @@ from latticeum_tpu.ring import models
 
 
 def _params(ring):
-    # B^L >= q, b_small^K = B  (stark q ~ 2^251.5)
-    B, L, b_small, K = 1 << 63, 4, 2, 63
+    # B^L >= q, b_small^K = B
+    if ring.p.bit_length() > 64:          # stark q ~ 2^251.5
+        B, L, b_small, K = 1 << 63, 4, 2, 63
+    else:                                 # babybear q ~ 2^31
+        B, L, b_small, K = 1 << 16, 2, 2, 16
     assert b_small ** K == B and B ** L > ring.p
     return {"B": B, "L": L, "b_small": b_small, "K": K,
             "tau": ring.D // ring.N}
@@ -95,3 +98,57 @@ def test_generic_ring_ops_stark():
         w = pow(2, k, p)
         rec = [(r + d * w) % p for r, d in zip(rec, digs[k])]
     assert rec == list(coeffs)
+
+
+@pytest.mark.slow
+def test_babybear_full_nifs_chain():
+    """The d = 9 (Fq9-slot) instantiation: exercises the COMPUTED
+    homogenization isomorphisms (models.crt_h) and the slot-field challenge
+    arithmetic end to end — the reference's BabyBear test matrix analog
+    (latticefold/src/nifs/tests.rs:119-203, models/babybear/ntt.rs:326-437).
+    """
+    ring = G.GRing(models.BABYBEAR)
+    assert ring.d == 9
+    params, ccs, z, wit, scheme, cm_i, acc, w_acc = _setup(ring)
+
+    tp = G.ShaTranscript(ring)
+    folded, w0, proof = G.nifs_prove(ring, ccs, scheme, acc, w_acc, cm_i,
+                                     wit, params, tp)
+    tv = G.ShaTranscript(ring)
+    folded_v = G.nifs_verify(ring, ccs, acc, cm_i, proof, params, tv)
+    assert folded_v == folded
+    assert tv.state == tp.state
+
+    # chain step 2 on top of the folded accumulator
+    z2 = G.toy_z(ring, 5)
+    ccs.check_relation(ring, z2)
+    wit2 = G.witness_from_w(ring, z2[ccs.l + 1:], params["B"], params["L"],
+                            params["tau"])
+    cm_i2 = G.GCCCS(cm=scheme.commit(wit2.f), x_ccs=z2[:ccs.l])
+    tp2 = G.ShaTranscript(ring)
+    folded2, _, proof2 = G.nifs_prove(ring, ccs, scheme, folded, w0, cm_i2,
+                                      wit2, params, tp2)
+    tv2 = G.ShaTranscript(ring)
+    folded2_v = G.nifs_verify(ring, ccs, folded, cm_i2, proof2, params, tv2)
+    assert folded2_v == folded2
+
+
+def test_babybear_homogenized_ring_ops():
+    """crt_h must be a ring isomorphism and the diagonal challenge embed a
+    field homomorphism (mul of embedded scalars = embed of field product)."""
+    import random
+    ring = G.GRing(models.BABYBEAR)
+    F = ring.F
+    rnd = random.Random(7)
+    a = [rnd.randrange(ring.p) for _ in range(ring.D)]
+    b = [rnd.randrange(ring.p) for _ in range(ring.D)]
+    ra, rb = ring.from_coeffs(a), ring.from_coeffs(b)
+    assert ring.to_coeffs(ra) == a
+    assert ring.to_coeffs(ring.mul(ra, rb)) == ring.m.poly_mul(a, b)
+    c1 = tuple(rnd.randrange(ring.p) for _ in range(9))
+    c2 = tuple(rnd.randrange(ring.p) for _ in range(9))
+    assert ring.mul(ring.scalar(c1), ring.scalar(c2)) == \
+        ring.scalar(F.mul(c1, c2))
+    # scalar embedding commutes with the ring action on a random element
+    assert ring.mul(ring.scalar(c1), ra) == \
+        tuple(F.mul(c1, s) for s in ra)
