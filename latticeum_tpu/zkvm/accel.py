@@ -68,6 +68,12 @@ class DeviceEngine:
         self.ccs = ccs
         self.params = params
         self.tail = tail_threshold
+        # per-point comb transient budget: the chunked fori serializes
+        # npts*chunks trips, so a bigger budget = fewer, wider trips (more
+        # VPU parallelism).  384 MB keeps the fold round-0 transients
+        # ~3 GB next to the ~4 GB resident buffers (16 GB chip).
+        self.sum_chunk_bytes = int(os.environ.get(
+            "LATTICEUM_CHUNK_MB", "384")) << 20
         self._jits = {}
         # device copies of the CCS COO tensors (uploaded once)
         with B.jax_mode():

@@ -179,9 +179,11 @@ class DeviceNifs:
         return (B.xp.moveaxis(ol, -2, -1)[..., brev],
                 B.xp.moveaxis(oh, -2, -1)[..., brev])
 
-    def _eval_fhat_batched(self, fhat_b, eq_dev):
+    def _eval_fhat_batched(self, fhat_b, eq_dev, raw=False):
         """<f_hat, eq> claims for a (K, TAU, ...) batched f_hat stack via an
-        on-device fori over K (bounds the transient to one witness)."""
+        on-device fori over K (bounds the transient to one witness).
+        raw=True returns the device (K, TAU, 24) limb pair (deferred
+        fetch)."""
         import jax
 
         if self.mxu:
@@ -205,6 +207,8 @@ class DeviceNifs:
                               int(fhat_b[0].shape[-1])), fn_mxu)
             with B.jax_mode():
                 out = jf(fhat_b, eq_dev)
+            if raw:
+                return out
             ints = gl.to_int(self.e.get(out))
             return [[[int(v) for v in row] for row in ints[k]]
                     for k in range(ints.shape[0])]
@@ -231,13 +235,16 @@ class DeviceNifs:
                           int(fhat_b[0].shape[-1])), fn)
         with B.jax_mode():
             out = jf(fhat_b, eq_dev)
+        if raw:
+            return out
         ints = gl.to_int(self.e.get(out))
         return [[[int(v) for v in row] for row in ints[k]]
                 for k in range(ints.shape[0])]
 
-    def eval_claims_batched(self, eqT_dev, z_stack):
+    def eval_claims_batched(self, eqT_dev, z_stack, raw=False):
         """u-claims for a (K, n, 24) stacked z against the (t, n, 24) eqT,
-        fori over K on device -> K lists of t rings."""
+        fori over K on device -> K lists of t rings (raw=True: the device
+        (t, K, 24) limb pair, deferred fetch)."""
         import jax
 
         if self.mxu:
@@ -245,6 +252,8 @@ class DeviceNifs:
             jf = self.e._jit(("evalclaims_b_mxu", kb0), mxu.ring_contract)
             with B.jax_mode():
                 out = jf(eqT_dev, z_stack)           # (t, K, 24)
+            if raw:
+                return out
             ints = gl.to_int(self.e.get(out))
             return [[[int(v) for v in ints[j, k]]
                      for j in range(ints.shape[0])]
@@ -267,6 +276,12 @@ class DeviceNifs:
         jf = self.e._jit(("evalclaims_b", kb), fn)
         with B.jax_mode():
             out = jf(eqT_dev, z_stack)
+        if raw:
+            # match the mxu raw convention: (t, K, 24) j-major
+            with B.jax_mode():
+                out = (B.xp.moveaxis(out[0], 0, 1),
+                       B.xp.moveaxis(out[1], 0, 1))
+            return out
         ints = gl.to_int(self.e.get(out))
         return [[[int(v) for v in row] for row in ints[k]]
                 for k in range(ints.shape[0])]
@@ -525,19 +540,11 @@ class DeviceNifs:
         with B.numpy_mode():
             x_s = dec.compute_x_s(cm_i.x_w, cm_i.h, p)
 
-        # commitments: y_0 reconstructed on device in the same jit
-        cm_ints = gl.to_int((
-            np.concatenate([np.asarray(y0_dev[0])[None],
-                            np.asarray(cms[0])], axis=0),
-            np.concatenate([np.asarray(y0_dev[1])[None],
-                            np.asarray(cms[1])], axis=0)))
-        y_s = [[[int(v) for v in r] for r in cm_ints[k]]
-               for k in range(p.K)]
-        mark("commits")
-
+        # dispatch EVERYTHING (v/u claims, z stack), then fetch all results
+        # in one device_get — each separate sync fetch is a tunnel RTT
         eq_r = self._eq_for_eval(point, (fhat_b[0][0], fhat_b[1][0]))
-        v_s = self._eval_fhat_batched(fhat_b, eq_r)
-        mark("v_evals")
+        v_dev = self._eval_fhat_batched(fhat_b, eq_r, raw=True)
+        mark("v_dispatch")
 
         eqT = self.eqT(point)
         mark("eqT")
@@ -555,8 +562,23 @@ class DeviceNifs:
         with B.jax_mode():
             z_b = zjf(hd, w_b)                       # (K, n, 24)
         z_s = [(z_b[0][k], z_b[1][k]) for k in range(p.K)]
-        u_s = self.eval_claims_batched(eqT, z_b)
-        mark("u_evals")
+        u_dev = self.eval_claims_batched(eqT, z_b, raw=True)
+
+        import jax as _jax
+        cm_fetch, v_fetch, u_fetch = _jax.device_get(
+            ((y0_dev, cms), v_dev, u_dev))
+        cm_ints = gl.to_int((
+            np.concatenate([cm_fetch[0][0][None], cm_fetch[1][0]], axis=0),
+            np.concatenate([cm_fetch[0][1][None], cm_fetch[1][1]], axis=0)))
+        y_s = [[[int(v) for v in r] for r in cm_ints[k]]
+               for k in range(p.K)]
+        v_ints = gl.to_int(tuple(np.asarray(a) for a in v_fetch))
+        v_s = [[[int(v) for v in row] for row in v_ints[k]]
+               for k in range(p.K)]
+        u_ints = gl.to_int(tuple(np.asarray(a) for a in u_fetch))
+        u_s = [[[int(v) for v in u_ints[j, k]]
+                for j in range(u_ints.shape[0])] for k in range(p.K)]
+        mark("claims_fetch")
 
         lcccs_s = []
         for k in range(p.K):
