@@ -51,7 +51,16 @@ def _ensure_cache():
     # Only XLA:CPU emits machine-specific AOT blobs; TPU/axon executables
     # target the chip, so their cache stays portable across hosts.
     suffix = f"_{_machine_fingerprint()}" if plat == "cpu" else ""
-    cache = f"/tmp/latticeum_jax_cache_{plat}{suffix}"
+    if plat == "cpu":
+        # v2: the unversioned cpu dir on shared /tmp accumulated AOT blobs
+        # compiled on a DIFFERENT machine despite the fingerprint (XLA
+        # loads them with a machine-feature-mismatch warning and can
+        # miscompile / livelock); bumping the name orphans any poisoned
+        # entries.  TPU executables target the chip (portable), so that
+        # dir keeps its name — and its warm entries.
+        cache = f"/tmp/latticeum_jax_cache_v2_{plat}{suffix}"
+    else:
+        cache = f"/tmp/latticeum_jax_cache_{plat}{suffix}"
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
     except Exception:
