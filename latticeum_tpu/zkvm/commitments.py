@@ -83,9 +83,15 @@ class ZkVmCommitter:
 
     # -- memory ----------------------------------------------------------
     def vm_mem_comm(self, vm) -> list:
-        """1024 single-row matrices -> one digest over all words
-        (commitments.rs:192-217 + Plonky3 tallest-matrix concatenation)."""
-        return hash_narrow(vm.memory_words())
+        """Merkle root over per-page leaf digests (commitments.rs:192-217).
+
+        Must be the SAME tree as vm_mem_comm_with_opening and the prover's
+        IncrementalMemTree — an earlier flat-sponge variant here silently
+        disagreed with the tree paths, so a run's state commitments changed
+        scheme at its first memory op and checkpoint/resume chains diverged
+        on z_i_comm (r04 debug_resume isolation)."""
+        return merkle_root_of_rows(
+            [vm.page_words(i) for i in range(vm.page_count)])
 
     def vm_mem_comm_with_opening(self, vm, mem_op):
         """Single (page_count x words_per_page) matrix tree + page opening."""
