@@ -215,13 +215,41 @@ def _fixed_phase(engine, transcript, parts, nv, r0, degree, comb_key,
     with B.jax_mode():
         final = fin_jf(parts)
     final = tuple(np.asarray(a) for a in _jax.device_get(final))
+    if log:
+        log(f"      fixed finals fetched r{r} at +{_time.time()-t_fx:.3f}s")
     if r < nv:
-        act = (final[0].reshape(k, 24, 1), final[1].reshape(k, 24, 1))
-        tp, tc, final = accel_t._host_tail_from_t(
-            engine, transcript, act, nv, r, degree, comb_key, consts_dev,
-            eq_info_rev, list(chals) + out_chals)
+        # truncated-MLE reconstruction (the lin path's lazy truncation):
+        # rebuild the remaining-variable eq table on host — betas AND all
+        # challenges are host-known under host FS — scale by the
+        # prod eqf(beta_j, r_j) prefix, pad the finals to the remaining
+        # width, and finish with a recursive tiny fixed phase ON DEVICE
+        # (the numpy std-comb tail this replaces cost ~0.6 s/step)
+        beta_list, eq_index = eq_info_rev
+        rest = 1 << (nv - r)
+        all_ch = list(chals) + out_chals
+        with B.numpy_mode():
+            scale = (1, 0, 0)
+            for rj, bj in zip(all_ch, beta_list):
+                scale = H.fq3_mul(scale, _eqf_at(bj, rj))
+            tab_std = accel_t.build_eq_table_rev(beta_list[r:])
+            tab_t = (np.moveaxis(np.asarray(tab_std[0]), 0, 1),
+                     np.moveaxis(np.asarray(tab_std[1]), 0, 1))  # (24, rest)
+            tab_t = rq.ntt_scalar_mul_t(tab_t, _fq3_limbs(scale))
+        st_lo = np.zeros((k, 24, rest), np.uint32)
+        st_hi = np.zeros((k, 24, rest), np.uint32)
+        st_lo[:, :, 0] = final[0].reshape(k, 24)
+        st_hi[:, :, 0] = final[1].reshape(k, 24)
+        st_lo[eq_index] = np.asarray(tab_t[0])
+        st_hi[eq_index] = np.asarray(tab_t[1])
+        with B.jax_mode():
+            stack = engine.put((st_lo, st_hi))
+        tp, tc, final = _fixed_phase(
+            engine, transcript, [stack], nv, r, degree, comb_key,
+            part_comb, consts_dev, None, all_ch, log=log)
         proof.extend(tp)
         out_chals.extend(tc)
+        if log:
+            log(f"      recon fixed tail done at +{_time.time()-t_fx:.3f}s")
     return proof, out_chals, final
 
 
@@ -426,6 +454,8 @@ def run_lin_rounds_factored(engine, transcript, g_t, nv, degree, comb_key,
     with B.jax_mode():
         stack = jfix(mz, eq, r3_prev, _fq3_limbs(E))
 
+    if log:
+        log(f"        lin pre-fixed handoff at {time.time()-t_start:.2f}s")
     part_comb = (lambda vals, c: comb_t(vals[0], c))
     tail_proof, tail_chals, final = _fixed_phase(
         engine, transcript, [stack], nv, r, degree, comb_key, part_comb,
