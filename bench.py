@@ -23,7 +23,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/latticeum_jax_cache")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_STEP_SECONDS = 2.0  # ~32 s / 16 folded steps (README.md:93-102)
-MEASURE_STEPS = 2            # steady-state steps measured after warmup
+MEASURE_STEPS = 4            # steady-state steps measured after warmup
+                             # (median reported; VERDICT r04 weak #2)
 
 
 def main():
@@ -56,8 +57,14 @@ def main():
     # step_wall = [start, warmup_done, step2_done, step3_done, ...]
     steady = [b - a for a, b in zip(step_wall[1:], step_wall[2:])] or \
              [step_wall[-1] - step_wall[-2]]
-    step_seconds = sum(steady) / len(steady)
+    # median: robust to a step-2 straggler still paying residual compiles
+    srt = sorted(steady)
+    mid = len(srt) // 2
+    step_seconds = (srt[mid] if len(srt) % 2 else
+                    (srt[mid - 1] + srt[mid]) / 2)
     vs_baseline = BASELINE_STEP_SECONDS / step_seconds
+    log(f"steady steps: {[round(s, 3) for s in steady]} "
+        f"-> median {step_seconds:.4f}")
 
     print(json.dumps({
         "metric": "zkvm_fold_step_time",

@@ -13,8 +13,11 @@ the model's NORMALIZED CRT domain: every slot is an element of the single
 common extension field F = Fq[Y]/(Y^d - W) via the per-slot homogenization
 isomorphisms (models.py crt_h/icrt_h — the reference's models/<ring>/ntt.rs
 homogenize_fq9/fq3 analogs, with the isomorphism constants COMPUTED by
-d-th-root finding instead of transcribed from Sage; the ring-isomorphism
-property is pinned by tests/test_ring_models.py).  Sum-check/folding
+d-th-root finding instead of transcribed from Sage; the crt_h/icrt_h
+ring-isomorphism property is pinned by
+tests/test_ring_models.py::test_crt_h_ring_isomorphism and exercised
+end-to-end by tests/test_generic_nifs.py::
+test_babybear_homogenized_ring_ops).  Sum-check/folding
 challenges are F elements (d == 1 models keep plain Fq ints); the diagonal
 embedding c -> (c, ..., c) is the canonical Fq^d-algebra map in the
 normalized domain, exactly as the reference embeds BaseRing challenges.

@@ -7,12 +7,18 @@ slots Fq[X]/(X^d - r_i); CRT folds the coefficient vector with powers of
 the slot root, slot multiplication is negacyclic-style convolution mod
 (X^d - r_i), and ICRT is the precomputed inverse of the CRT matrix.
 
-Deviation from the reference (documented, intentional): slot elements stay
-as residues mod their OWN modulus (X^d - r_i) instead of being normalized
-into the single canonical extension field (Fq9/Fq4) via the X -> uX
-isomorphisms — the ring structure (CRT iso, slotwise mul/add) is identical;
-only the slot representation differs.  Root-of-unity tables are copied
-constants (ntt.rs of each model) and pinned by algebraic identity tests.
+Two slot domains are provided: the RAW domain (crt/icrt/slot_mul — slot i
+is a residue mod its own X^d - r_i) and the NORMALIZED domain
+(crt_h/icrt_h/slot_mul_h — every slot mapped into the single common
+extension field F = Fq[Y]/(Y^d - W) via per-slot isomorphisms, the
+reference's homogenize_fq9/fq3 analogs, with the isomorphism constants
+COMPUTED by Pohlig-Hellman d-th-root extraction instead of transcribed
+from Sage; pinned by tests/test_ring_models.py::test_crt_h_ring_isomorphism).
+Frog has no computed homogenization (p-1 contains a ~3.2e14 prime factor;
+needs AMM-style root extraction) — `has_hom` is False there, matching the
+reference's own NIFS test matrix which skips Frog (nifs/tests.rs:119-203).
+Root-of-unity tables are copied constants (ntt.rs of each model) and
+pinned by algebraic identity tests.
 
 The production TPU ring remains Goldilocks (ring/rq.py); these models serve
 the cross-ring test/bench coverage the reference's latticefold suite has.

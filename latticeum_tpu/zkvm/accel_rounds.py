@@ -224,6 +224,9 @@ def _fixed_phase(engine, transcript, parts, nv, r0, degree, comb_key,
         # prod eqf(beta_j, r_j) prefix, pad the finals to the remaining
         # width, and finish with a recursive tiny fixed phase ON DEVICE
         # (the numpy std-comb tail this replaces cost ~0.6 s/step)
+        assert eq_info_rev is not None, \
+            "actives exhausted before nv but no eq reconstruction info " \
+            "(padded/truncated fold parts need eq_info_rev)"
         beta_list, eq_index = eq_info_rev
         rest = 1 << (nv - r)
         all_ch = list(chals) + out_chals
@@ -283,8 +286,12 @@ def run_lin_rounds_factored(engine, transcript, g_t, nv, degree, comb_key,
         "factored lin comb needs non-empty multisets (builder invariant)"
 
     # component-form comb bodies only off-CPU (XLA:CPU compiles that form
-    # pathologically — minutes/livelock; packed ntt_mul_t ops there)
-    comp_split = engine.jax.default_backend() != "cpu"
+    # pathologically at production scale — minutes/livelock; packed
+    # ntt_mul_t ops there).  engine.force_comp_split overrides for the
+    # small-shape CPU equality test of the TPU branch (advisor r04 #4).
+    comp_split = getattr(engine, "force_comp_split", None)
+    if comp_split is None:
+        comp_split = engine.jax.default_backend() != "cpu"
     groups = {}
     for i, S_i in enumerate(S):
         groups.setdefault(len(S_i), []).append((i, list(S_i)))
@@ -504,7 +511,9 @@ def run_fold_rounds_factored(engine, transcript, parts, nv, degree,
     # b^2 range constants: base-field embeds live at slot component 0 only
     bsq_c0 = [(np.uint32((b * b) % P & 0xFFFFFFFF),
                np.uint32(((b * b) % P) >> 32)) for b in range(1, b_small)]
-    comp_split = engine.jax.default_backend() != "cpu"   # see lin runner
+    comp_split = getattr(engine, "force_comp_split", None)  # see lin runner
+    if comp_split is None:
+        comp_split = engine.jax.default_backend() != "cpu"
 
     transcript.absorb_u64(nv)
     transcript.absorb_u64(degree)

@@ -10,10 +10,19 @@ Plonky3 constructions it uses:
     compression levels;
   * the wide (width-16 rate-12) sponge for state/acc/step commitments.
 
-Parity note: `vm_mem_comm` (commitments.rs:192-217) passes 1024 single-row
-matrices, which in Plonky3 collapses to ONE digest hashing all of memory;
-`vm_mem_comm_with_opening` (:222-262) commits a single 1024x256 matrix with
-a real 10-level tree.  Both behaviors are replicated.
+Parity note — INTENTIONAL DIVERGENCE: the reference's `vm_mem_comm`
+(commitments.rs:192-217) passes 1024 single-row matrices, which in Plonky3
+collapses to ONE flat digest hashing all of memory, while its
+`vm_mem_comm_with_opening` (:222-262) commits a 1024x256 matrix as a real
+10-level page-Merkle tree — two DIFFERENT schemes for the same memory, so
+a reference run's state commitments silently change scheme at the first
+memory op.  This repo uses the page-Merkle tree for BOTH (r04 fix
+`dfe40f5`: the flat variant made checkpoint/resume chains diverge on
+z_i_comm).  Consequence: z_0_comm and every state_i/ivc_step/acc digest
+downstream differ from an unpatched reference run; rust-side digest parity
+(scripts/rust_parity/compare.py --acc) requires the one-line reference
+patch documented in scripts/rust_parity/README.md (make vm_mem_comm use
+the with_opening tree).  See PARITY.md §memory-commitment divergence.
 """
 
 from __future__ import annotations

@@ -15,6 +15,12 @@ Usage (see README.md in this directory for the capture side):
   with the reference's actual guest ELF for an apples-to-apples chain;
   defaults to the synthesized fib_const_guest, which matches the guest's
   RESULT but not its exact instruction stream/state chain).
+
+  NOTE: the reference must ALSO carry the one-line vm_mem_comm patch from
+  README.md §4 in this directory — this repo intentionally commits memory
+  with the page-Merkle tree everywhere, while the unpatched reference uses
+  a flat digest for z_0 (PARITY.md §memory-commitment divergence); without
+  the patch the digest chains legitimately differ from step 0.
 """
 
 import argparse

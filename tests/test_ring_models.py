@@ -83,3 +83,19 @@ def test_goldilocks_model_matches_production_ring():
     mine = M.GOLDILOCKS.ntt_mul(a, b)
     ref = R.icrt(R.ntt_mul(R.crt(list(a)), R.crt(list(b))))
     assert mine == ref
+
+
+@pytest.mark.parametrize("m", ALL, ids=IDS)
+def test_crt_h_ring_isomorphism(m):
+    """crt_h (CRT + per-slot homogenization into the common field F) must
+    be a ring isomorphism for every model that has one: icrt_h inverts it,
+    and slotwise products in the normalized domain equal poly_mul.
+    This is the property the generic NIFS (nifs/generic.py) builds on."""
+    if not m.has_hom:
+        pytest.skip(f"{m.name}: no homogenization (documented gap)")
+    rng = np.random.default_rng(11)
+    a, b = m.rand(rng), m.rand(rng)
+    assert m.icrt_h(m.crt_h(a)) == [v % m.p for v in a]
+    direct = m.poly_mul(a, b)
+    via = m.icrt_h(m.slot_mul_h(m.crt_h(a), m.crt_h(b)))
+    assert direct == via
