@@ -251,6 +251,55 @@ def bench_guest_mem(pages=64, passes=2, fold_steps=0, device=False):
              steps=state.steps, s_per_step=round(dt / max(state.steps, 1), 3))
 
 
+
+def bench_rings(reps=1):
+    """Cross-ring NIFS rows — the reference benches every subprotocol over
+    its 4 ring models (latticefold/benches/*, benches/config.toml); this
+    runs the ring-generic NIFS (nifs/generic.py) per model at host scale
+    on the toy CCS (the reference's benches are CPU too).  Frog is skipped
+    for NIFS exactly as the reference's test/bench matrix does (no
+    homogenization; nifs/tests.rs:119-203)."""
+    from latticeum_tpu.nifs import generic as G
+    from latticeum_tpu.ring import models
+    from tests.test_generic_nifs import _params, _setup
+
+    for model in (models.GOLDILOCKS, models.BABYBEAR, models.STARK):
+        ring = G.GRing(model)
+        params = _params(ring)
+        t_set = time.time()
+        _, ccs, z, wit, scheme, cm_i, acc, w_acc = _setup(ring)
+        emit(suite="rings", ring=model.name, op="setup",
+             value=round(time.time() - t_set, 4), unit="s",
+             config={"B": params["B"], "L": params["L"],
+                     "K": params["K"], "m": ccs.m})
+
+        tr = G.ShaTranscript(ring)
+        t_lin = time.time()
+        lin_out = G.lin_prove(ring, ccs, cm_i, wit, tr)
+        emit(suite="rings", ring=model.name, op="linearization",
+             value=round(time.time() - t_lin, 4), unit="s")
+
+        t_dec = time.time()
+        G.dec_prove(ring, ccs, scheme, lin_out[0], wit, params,
+                    G.ShaTranscript(ring))
+        emit(suite="rings", ring=model.name, op="decomposition",
+             value=round(time.time() - t_dec, 4), unit="s")
+
+        tp = G.ShaTranscript(ring)
+        t_full = time.time()
+        folded, w0, proof = G.nifs_prove(ring, ccs, scheme, acc, w_acc,
+                                         cm_i, wit, params, tp)
+        emit(suite="rings", ring=model.name, op="nifs_prove",
+             value=round(time.time() - t_full, 4), unit="s")
+
+        tv = G.ShaTranscript(ring)
+        t_ver = time.time()
+        folded_v = G.nifs_verify(ring, ccs, acc, cm_i, proof, params, tv)
+        emit(suite="rings", ring=model.name, op="nifs_verify",
+             value=round(time.time() - t_ver, 4), unit="s",
+             verified=bool(folded_v == folded and tv.state == tp.state))
+
+
 def main():
     args = sys.argv[1:]
     device = "--device" in args
@@ -269,6 +318,8 @@ def main():
                 bench_nifs(grid)
         elif s == "poseidon2":
             bench_poseidon2()
+        elif s == "rings":
+            bench_rings()
         elif s == "guest-mem":
             steps = 2 if "--fold" in args else 0
             bench_guest_mem(fold_steps=steps, device=device)

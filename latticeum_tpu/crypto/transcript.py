@@ -39,13 +39,19 @@ def decode_short_challenge(bs: bytes):
 
 
 class Transcript:
-    def __init__(self):
+    def __init__(self, record_samples: bool = False):
         from . import native
         if native.available():
             self.ch = native.NativeChallenger()
         else:
             self.ch = p2.DuplexChallenger()
         self.absorptions: list[list[list[int]]] = []
+        # record_samples=True captures every challenger sample in order —
+        # a ReplayTranscript built from the list re-derives the exact same
+        # challenge sequence without re-hashing (the verifier-vars
+        # collector replays the prover's own deterministic transcript, so
+        # re-absorbing ~250k values per fold was pure duplicated work)
+        self.samples: list[int] | None = [] if record_samples else None
 
     # -- absorb ------------------------------------------------------------
     def absorb_ring(self, ntt24):
@@ -72,20 +78,100 @@ class Transcript:
         """Absorb an Fq3 embedded via from_scalar (all slots equal)."""
         self.absorb_ring(H.ntt_from_fq3(x))
 
+    # -- device Fiat-Shamir sync (zkvm/accel_dev_fs.py) --------------------
+    def export_for_device(self) -> tuple[list[int], list[int]]:
+        """-> (state16, input_buffer) for the device challenger.
+
+        The output buffer is dropped: valid only when the next transcript
+        action is an observe (it stale-clears the output buffer), which
+        holds at every sum-check phase boundary."""
+        ch = self.ch
+        if hasattr(ch, "st"):                       # NativeChallenger
+            st = ch.st
+            return ([int(v) for v in st[:16]],
+                    [int(st[18 + i]) for i in range(int(st[16]))])
+        return list(ch.state), list(ch.input_buffer)
+
+    def import_from_device(self, state16, input_buffer):
+        """Resync the host challenger from the device run's final state."""
+        import numpy as np
+        ch = self.ch
+        if hasattr(ch, "st"):
+            ch.st[:16] = np.array([int(v) % P for v in state16],
+                                  dtype=np.uint64)
+            ch.st[16] = len(input_buffer)
+            ch.st[17] = 0
+            for i, v in enumerate(input_buffer):
+                ch.st[18 + i] = int(v) % P
+        else:
+            ch.state = [int(v) % P for v in state16]
+            ch.input_buffer = [int(v) % P for v in input_buffer]
+            ch.output_buffer = []
+
     # -- sample ------------------------------------------------------------
+    def _sample(self) -> int:
+        v = self.ch.sample()
+        if self.samples is not None:
+            self.samples.append(v)
+        return v
+
     def get_challenge(self):
         """-> Fq3 (c0, c1, c2); samples then re-observes (fiat_shamir.rs:69-86)."""
-        c0 = self.ch.sample()
-        c1 = self.ch.sample()
-        c2 = self.ch.sample()
+        c0 = self._sample()
+        c1 = self._sample()
+        c2 = self._sample()
         self.ch.observe(c0)
         self.ch.observe(c1)
         self.ch.observe(c2)
         return (c0, c1, c2)
 
     def squeeze_bytes(self, n: int) -> bytes:
-        return self.ch.squeeze_bytes(n)
+        """fiat_shamir.rs:88-102: little-endian bytes of canonical samples."""
+        out = bytearray()
+        while len(out) < n:
+            val = self._sample()
+            out.extend(val.to_bytes(8, "little")[:min(n - len(out), 8)])
+        return bytes(out)
 
     def get_short_challenge(self):
         """-> 24 coefficient-form ints in balanced range [-32, 32)."""
         return decode_short_challenge(self.squeeze_bytes(SHORT_CHALLENGE_BYTES))
+
+
+class ReplayTranscript(Transcript):
+    """Transcript that re-derives challenges from a RECORDED sample stream
+    instead of re-hashing (absorbs become bookkeeping-only no-ops).
+
+    The verifier-vars collector (zkvm/collect.py) replays the exact
+    absorb/sample sequence of the prover's fold transcript; with the
+    prover's transcript created as Transcript(record_samples=True), the
+    replay is deterministic bit-for-bit — this class skips the ~250k
+    re-absorbed values (≈0.25 s/step of duplicated Poseidon2 hashing)."""
+
+    def __init__(self, samples):
+        self.ch = None
+        self.absorptions = []
+        self.samples = None
+        self._replay = samples
+        self._pos = 0
+
+    # absorbs: keep only the absorptions bookkeeping
+    def absorb_ring(self, ntt24):
+        pass
+
+    def absorb_slice(self, rings):
+        self.absorptions.append([list(r) for r in rings])
+
+    def absorb_u64(self, c):
+        pass
+
+    def absorb_fq3(self, x):
+        pass
+
+    def _sample(self) -> int:
+        v = self._replay[self._pos]
+        self._pos += 1
+        return v
+
+    def get_challenge(self):
+        return (self._sample(), self._sample(), self._sample())

@@ -82,7 +82,23 @@ def mul(a, b):
 
 
 def square(a):
-    return mul(a, a)
+    """Chung-Hasan SQR3: 5 base-field multiplies (vs 6 for mul(a, a)).
+
+    s0=a0^2, s1=2a0a1, s2=(a0-a1+a2)^2, s3=2a1a2, s4=a2^2;
+    c0 = s0 + W*s3, c1 = s1 + W*s4, c2 = s1+s2+s3-s0-s4 (= a1^2+2a0a2)."""
+    a0, a1, a2 = a
+    s0 = gl.mul(a0, a0)
+    a0a1 = gl.mul(a0, a1)
+    s1 = gl.add(a0a1, a0a1)
+    t = gl.add(gl.sub(a0, a1), a2)
+    s2 = gl.mul(t, t)
+    a1a2 = gl.mul(a1, a2)
+    s3 = gl.add(a1a2, a1a2)
+    s4 = gl.mul(a2, a2)
+    c0 = gl.add(s0, gl.mul_2e40(s3))
+    c1 = gl.add(s1, gl.mul_2e40(s4))
+    c2 = gl.sub(gl.add(gl.add(s1, s2), s3), gl.add(s0, s4))
+    return (c0, c1, c2)
 
 
 def pow_const(a, e: int):

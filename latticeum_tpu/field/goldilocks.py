@@ -73,6 +73,16 @@ def to_int(g) -> np.ndarray:
     return np.array(combined.tolist(), dtype=object).reshape(lo.shape)
 
 
+def to_int_lists(g):
+    """(lo, hi) -> nested Python lists of ints (one pass, no object array).
+
+    ~3x cheaper than to_int(...).tolist() / per-element int() loops on the
+    proof-fetch paths (tens of thousands of values per fold step)."""
+    lo = np.asarray(g[0], dtype=np.uint64)
+    hi = np.asarray(g[1], dtype=np.uint64)
+    return (lo | (hi << np.uint64(32))).tolist()
+
+
 def zeros(shape):
     return (B.xp.zeros(shape, dtype=U32), B.xp.zeros(shape, dtype=U32))
 

@@ -209,9 +209,7 @@ class DeviceNifs:
                 out = jf(fhat_b, eq_dev)
             if raw:
                 return out
-            ints = gl.to_int(self.e.get(out))
-            return [[[int(v) for v in row] for row in ints[k]]
-                    for k in range(ints.shape[0])]
+            return gl.to_int_lists(self.e.get(out))
 
         def fn(fh, e):
             Kb = fh[0].shape[0]
@@ -237,9 +235,7 @@ class DeviceNifs:
             out = jf(fhat_b, eq_dev)
         if raw:
             return out
-        ints = gl.to_int(self.e.get(out))
-        return [[[int(v) for v in row] for row in ints[k]]
-                for k in range(ints.shape[0])]
+        return gl.to_int_lists(self.e.get(out))
 
     def eval_claims_batched(self, eqT_dev, z_stack, raw=False):
         """u-claims for a (K, n, 24) stacked z against the (t, n, 24) eqT,
@@ -254,10 +250,9 @@ class DeviceNifs:
                 out = jf(eqT_dev, z_stack)           # (t, K, 24)
             if raw:
                 return out
-            ints = gl.to_int(self.e.get(out))
-            return [[[int(v) for v in ints[j, k]]
-                     for j in range(ints.shape[0])]
-                    for k in range(kb0)]
+            got = self.e.get(out)
+            return gl.to_int_lists((np.swapaxes(np.asarray(got[0]), 0, 1),
+                                    np.swapaxes(np.asarray(got[1]), 0, 1)))
 
         def fn(w, zs):
             Kb = zs[0].shape[0]
@@ -282,9 +277,7 @@ class DeviceNifs:
                 out = (B.xp.moveaxis(out[0], 0, 1),
                        B.xp.moveaxis(out[1], 0, 1))
             return out
-        ints = gl.to_int(self.e.get(out))
-        return [[[int(v) for v in row] for row in ints[k]]
-                for k in range(ints.shape[0])]
+        return gl.to_int_lists(self.e.get(out))
 
     def build_witness(self, w_dev):
         """w_ccs (nw, 24) device -> DeviceWitness (jitted pipeline)."""
@@ -351,8 +344,7 @@ class DeviceNifs:
                              lambda m, f: self._matvec_general(m, f))
             with B.jax_mode():
                 cm = jf(self.ajtai_mat, f_dev)
-            ints = gl.to_int(self.e.get(cm))
-            return [[int(v) for v in r] for r in ints]
+            return gl.to_int_lists(self.e.get(cm))
 
         def fn(rows, f):
             total = gl.sum_axis(f, axis=-2)              # (24,)
@@ -362,8 +354,7 @@ class DeviceNifs:
         jf = self.e._jit(("ajtai_rc", n), fn)
         with B.jax_mode():
             cm = jf(self.ajtai_rows, f_dev)
-        ints = gl.to_int(self.e.get(cm))
-        return [[int(v) for v in r] for r in ints]
+        return gl.to_int_lists(self.e.get(cm))
 
 
     @staticmethod
@@ -430,8 +421,7 @@ class DeviceNifs:
         v = self._eval_fhat(wit.f_hat, eq_r)
         mark("v_evals")
         # u_j = mle[M_j z](r) = the final folded sum-check values (rows 0..t)
-        u_ints = gl.to_int((final[0][:ccs.t], final[1][:ccs.t]))
-        u = [[int(x) for x in row] for row in u_ints]
+        u = gl.to_int_lists((final[0][:ccs.t], final[1][:ccs.t]))
         transcript.absorb_slice(v)
         transcript.absorb_slice(u)
         proof = {"sumcheck": proof_sc, "v": v, "u": u}
@@ -567,17 +557,12 @@ class DeviceNifs:
         import jax as _jax
         cm_fetch, v_fetch, u_fetch = _jax.device_get(
             ((y0_dev, cms), v_dev, u_dev))
-        cm_ints = gl.to_int((
+        y_s = gl.to_int_lists((
             np.concatenate([cm_fetch[0][0][None], cm_fetch[1][0]], axis=0),
             np.concatenate([cm_fetch[0][1][None], cm_fetch[1][1]], axis=0)))
-        y_s = [[[int(v) for v in r] for r in cm_ints[k]]
-               for k in range(p.K)]
-        v_ints = gl.to_int(tuple(np.asarray(a) for a in v_fetch))
-        v_s = [[[int(v) for v in row] for row in v_ints[k]]
-               for k in range(p.K)]
-        u_ints = gl.to_int(tuple(np.asarray(a) for a in u_fetch))
-        u_s = [[[int(v) for v in u_ints[j, k]]
-                for j in range(u_ints.shape[0])] for k in range(p.K)]
+        v_s = gl.to_int_lists(tuple(np.asarray(a) for a in v_fetch))
+        u_tk = tuple(np.swapaxes(np.asarray(a), 0, 1) for a in u_fetch)
+        u_s = gl.to_int_lists(u_tk)                  # (K, t, 24) lists
         mark("claims_fetch")
 
         lcccs_s = []
@@ -629,8 +614,7 @@ class DeviceNifs:
                               int(f_hat[0].shape[-1])), fn_mxu)
             with B.jax_mode():
                 out = jf(f_hat, eq_dev)
-            ints = gl.to_int(self.e.get(out))
-            return [[int(v) for v in row] for row in ints]
+            return gl.to_int_lists(self.e.get(out))
         if not self.t_layout:
             return self.e.eval_mles_at(f_hat, eq_dev)
 
@@ -642,8 +626,7 @@ class DeviceNifs:
         jf = self.e._jit(("evalfhat_t", npad), fn)
         with B.jax_mode():
             out = jf(f_hat, eq_dev)
-        ints = gl.to_int(self.e.get(out))
-        return [[int(v) for v in row] for row in ints]
+        return gl.to_int_lists(self.e.get(out))
 
     def eqT(self, point):
         """(t, n, 24) M_j^T eq rows on device."""
@@ -680,8 +663,7 @@ class DeviceNifs:
             jf = self.e._jit(("evalclaims_mxu",), fn_mxu)
             with B.jax_mode():
                 out = jf(eqT_dev, z_dev)
-            ints = gl.to_int(self.e.get(out))
-            return [[int(v) for v in r] for r in ints]
+            return gl.to_int_lists(self.e.get(out))
 
         def fn(w, z):
             prod = rq.ntt_mul(w, (z[0][None], z[1][None]))
@@ -791,8 +773,7 @@ class DeviceNifs:
         # theta_s = mle[f_hat](r_0): rows 5.. of the sum-check's final
         # folded values — no separate evaluation pass needed
         del mu_c
-        th_ints = gl.to_int((final[0][5:], final[1][5:]))
-        theta_flat = [[int(x) for x in row] for row in th_ints]
+        theta_flat = gl.to_int_lists((final[0][5:], final[1][5:]))
         theta_s = [theta_flat[i * TAU:(i + 1) * TAU]
                    for i in range(2 * K)]
         eqT_r0 = self.eqT(r_0)

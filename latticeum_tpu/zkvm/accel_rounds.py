@@ -172,6 +172,13 @@ def _fixed_phase(engine, transcript, parts, nv, r0, degree, comb_key,
     Returns (proof, chals, final) — finishing the truncated-MLE
     reconstruction rounds on host when the actives run out before nv
     (trivial sizes)."""
+    if getattr(engine, "device_fs", True):
+        # one-dispatch path: all remaining rounds + the Fiat-Shamir
+        # challenger on device (accel_dev_fs) — kills ~20 tunnel RTTs/step
+        from . import accel_dev_fs
+        return accel_dev_fs.run_fixed_phase_dev(
+            engine, transcript, parts, nv, r0, degree, comb_key,
+            part_comb, consts_dev, eq_info_rev, chals, log=log)
     k = sum(int(p[0].shape[0]) for p in parts)
     F = int(parts[0][0].shape[-1])
     nb = len(parts)
@@ -328,12 +335,11 @@ def run_lin_rounds_factored(engine, transcript, g_t, nv, degree, comb_key,
                 mz = _fold_t(mz, r3)
             Tn = _pair_sum(eq)                        # (24, half)
 
-            def body(i, acc):
-                pt = i // chunks
-                j = i % chunks
-                tl = pt.astype(jnp.uint32)
-                tz = jnp.zeros((), jnp.uint32)
-
+            def body(j, acc):
+                # chunk-major + incremental point evaluation (see the fold
+                # body): v0/v1 loaded once, vals advances by exact adds —
+                # at deg(q)+1 = 9 points the per-point eval multiply was
+                # ~1/3 of the comb's base-field multiplies.
                 def dsl(x, off):
                     return jax.lax.dynamic_slice(x, (0, 0, off),
                                                  (t_rows, 24, cs))
@@ -342,70 +348,92 @@ def run_lin_rounds_factored(engine, transcript, g_t, nv, degree, comb_key,
                 v0 = (dsl(mz[0], j * cs), dsl(mz[1], j * cs))
                 v1 = (dsl(mz[0], half + j * cs), dsl(mz[1], half + j * cs))
                 step = gl.sub(v1, v0)
-                vals = gl.add(v0, gl.mul(step, (tl, tz)))
+                Tc = (jax.lax.dynamic_slice(Tn[0], (0, j * cs), (24, cs)),
+                      jax.lax.dynamic_slice(Tn[1], (0, j * cs), (24, cs)))
+                # inner fori over points with the CURRENT evaluation values
+                # carried — one comb instance in the trace (the 9-point
+                # unrolled form compiled for ~5 min per shape), advancing
+                # vals by exact adds (vals_0 = v0; vals_{t+1} = vals_t +
+                # step — equals v1 at t=1 by construction)
                 if comp_split:
                     # TPU: split Fq3 components ONCE (reshape-based) and
                     # run the product chain in component form — saves the
                     # 24->(8,3) retile every ntt_mul_t pays.  XLA:CPU
                     # compiles this form pathologically (minutes/livelock,
                     # r03-r04 post-mortems), so CPU keeps the packed ops.
-                    v3 = rq._as_slots_t(vals)
                     c3 = rq._as_slots_t((consts[0][..., None],
                                          consts[1][..., None]))
-                    total = None
-                    for iidx, jidx in group_list:
-                        g3 = tuple((v3[c][0][jidx], v3[c][1][jidx])
+                    Tc3 = rq._as_slots_t(Tc)
+                    step3 = rq._as_slots_t(step)
+                    v03 = rq._as_slots_t(v0)
+
+                    def body_pt(t, carry):
+                        vals3, acc = carry
+                        total = None
+                        for iidx, jidx in group_list:
+                            g3 = tuple((vals3[c][0][jidx], vals3[c][1][jidx])
+                                       for c in range(3))
+                            prod = tuple((g3[c][0][:, 0], g3[c][1][:, 0])
+                                         for c in range(3))
+                            for s in range(1, jidx.shape[1]):
+                                prod = fq3.mul(
+                                    prod,
+                                    tuple((g3[c][0][:, s], g3[c][1][:, s])
+                                          for c in range(3)))
+                            cw = tuple((c3[c][0][iidx], c3[c][1][iidx])
+                                       for c in range(3))
+                            term = fq3.mul(prod, cw)
+                            part = tuple(gl.sum_axis(term[c], axis=0)
+                                         for c in range(3))
+                            total = (part if total is None
+                                     else fq3.add(total, part))
+                        tot = fq3.mul(total, Tc3)
+                        s3 = tuple(gl.sum_axis(tot[c], axis=-1)
                                    for c in range(3))
-                        prod = tuple((g3[c][0][:, 0], g3[c][1][:, 0])
-                                     for c in range(3))
-                        for s in range(1, jidx.shape[1]):
-                            prod = fq3.mul(
-                                prod, tuple((g3[c][0][:, s], g3[c][1][:, s])
-                                            for c in range(3)))
-                        cw = tuple((c3[c][0][iidx], c3[c][1][iidx])
-                                   for c in range(3))
-                        term = fq3.mul(prod, cw)
-                        part = tuple(gl.sum_axis(term[c], axis=0)
-                                     for c in range(3))
-                        total = (part if total is None
-                                 else fq3.add(total, part))
-                    Tc3 = rq._as_slots_t(
-                        (jax.lax.dynamic_slice(Tn[0], (0, j * cs), (24, cs)),
-                         jax.lax.dynamic_slice(Tn[1], (0, j * cs),
-                                               (24, cs))))
-                    tot = fq3.mul(total, Tc3)
-                    s3 = tuple(gl.sum_axis(tot[c], axis=-1)
-                               for c in range(3))
-                    s = rq._from_slots_t(tuple(
-                        ((x[0][..., None]), (x[1][..., None]))
-                        for x in s3))
-                    s = (s[0][..., 0], s[1][..., 0])      # (24,)
+                        s = rq._from_slots_t(tuple(
+                            ((x[0][..., None]), (x[1][..., None]))
+                            for x in s3))
+                        s = (s[0][..., 0], s[1][..., 0])  # (24,)
+                        prev = (acc[0][t], acc[1][t])
+                        nxt = gl.add(prev, s)
+                        acc = (acc[0].at[t].set(nxt[0]),
+                               acc[1].at[t].set(nxt[1]))
+                        vals3 = fq3.add(vals3, step3)
+                        return (vals3, acc)
+
+                    _, acc = jax.lax.fori_loop(0, npts_q, body_pt,
+                                               (v03, acc))
                 else:
-                    total = None
-                    for iidx, jidx in group_list:
-                        glo, ghi = vals[0][jidx], vals[1][jidx]
-                        prod = (glo[:, 0], ghi[:, 0])
-                        for s in range(1, jidx.shape[1]):
-                            prod = rq.ntt_mul_t(prod, (glo[:, s], ghi[:, s]))
-                        ci = (consts[0][iidx][..., None],
-                              consts[1][iidx][..., None])
-                        term = rq.ntt_mul_t(prod, ci)
-                        part = gl.sum_axis(term, axis=0)
-                        total = (part if total is None
-                                 else gl.add(total, part))
-                    Tc = (jax.lax.dynamic_slice(Tn[0], (0, j * cs),
-                                                (24, cs)),
-                          jax.lax.dynamic_slice(Tn[1], (0, j * cs),
-                                                (24, cs)))
-                    tot = rq.ntt_mul_t(total, Tc)
-                    s = gl.sum_axis(tot, axis=-1)         # (24,)
-                prev = (acc[0][pt], acc[1][pt])
-                nxt = gl.add(prev, s)
-                return (acc[0].at[pt].set(nxt[0]), acc[1].at[pt].set(nxt[1]))
+                    def body_pt(t, carry):
+                        vals, acc = carry
+                        total = None
+                        for iidx, jidx in group_list:
+                            glo, ghi = vals[0][jidx], vals[1][jidx]
+                            prod = (glo[:, 0], ghi[:, 0])
+                            for s in range(1, jidx.shape[1]):
+                                prod = rq.ntt_mul_t(prod,
+                                                    (glo[:, s], ghi[:, s]))
+                            ci = (consts[0][iidx][..., None],
+                                  consts[1][iidx][..., None])
+                            term = rq.ntt_mul_t(prod, ci)
+                            part = gl.sum_axis(term, axis=0)
+                            total = (part if total is None
+                                     else gl.add(total, part))
+                        tot = rq.ntt_mul_t(total, Tc)
+                        s = gl.sum_axis(tot, axis=-1)     # (24,)
+                        prev = (acc[0][t], acc[1][t])
+                        nxt = gl.add(prev, s)
+                        acc = (acc[0].at[t].set(nxt[0]),
+                               acc[1].at[t].set(nxt[1]))
+                        return (gl.add(vals, step), acc)
+
+                    _, acc = jax.lax.fori_loop(0, npts_q, body_pt,
+                                               (v0, acc))
+                return acc
 
             init = (jnp.zeros((npts_q, 24), jnp.uint32),
                     jnp.zeros((npts_q, 24), jnp.uint32))
-            Sq = jax.lax.fori_loop(0, npts_q * chunks, body, init)
+            Sq = jax.lax.fori_loop(0, chunks, body, init)
             return mz, Tn, Sq
 
         return fn
@@ -563,12 +591,14 @@ def run_fold_rounds_factored(engine, transcript, parts, nv, degree,
             Sc1 = gl.sum_axis(p1, axis=-1)
             Tb = (Tn[0][2], Tn[1][2])
 
-            def body(i, acc):
-                pt = i // chunks
-                j = i % chunks
-                tl = pt.astype(jnp.uint32)
-                tz = jnp.zeros((), jnp.uint32)
-
+            def body(j, acc):
+                # chunk-major: load v0/v1 ONCE, evaluate ALL npts_h points
+                # by incremental adds (f_{t+1} = f_t + step — exact, no
+                # per-point eval multiply, 1/npts the HBM traffic), and
+                # restructure h = mu*f*prod(f^2-b^2) as (mu*f)-precompute +
+                # 5-mul Fq3 squares: ~33% fewer base-field multiplies than
+                # the point-major form (bit-identical results: exact field
+                # ops commute/associate).
                 def dsl(x, off):
                     return jax.lax.dynamic_slice(x, (0, 0, off),
                                                  (rows, 24, cs))
@@ -576,65 +606,83 @@ def run_fold_rounds_factored(engine, transcript, parts, nv, degree,
                 from ..field import fq3
                 v0 = (dsl(t_s[0], j * cs), dsl(t_s[1], j * cs))
                 v1 = (dsl(t_s[0], half + j * cs), dsl(t_s[1], half + j * cs))
-                step = gl.sub(v1, v0)
-                vals = gl.add(v0, gl.mul(step, (tl, tz)))
+                Tbc = (jax.lax.dynamic_slice(Tb[0], (0, j * cs), (24, cs)),
+                       jax.lax.dynamic_slice(Tb[1], (0, j * cs), (24, cs)))
+                # inner fori over points with (f, mu*f) carried — one comb
+                # instance in the trace; both advance by exact adds
+                # (f_{t+1} = f_t + step, (mu*f)_{t+1} = (mu*f)_t + mu*step)
                 if comp_split:
-                    # component form once per chunk (see the lin body note)
-                    v3 = rq._as_slots_t(vals)
-                    f_sq = fq3.mul(v3, v3)
-                    ev = None
-                    for bb0 in bsq_c0:
-                        # b^2 embeds at slot component 0 only
-                        factor = (gl.sub(f_sq[0], bb0), f_sq[1], f_sq[2])
-                        ev = factor if ev is None else fq3.mul(ev, factor)
-                    ev = v3 if ev is None else fq3.mul(ev, v3)
+                    f0 = rq._as_slots_t(v0)
+                    f1 = rq._as_slots_t(v1)
+                    step3 = fq3.sub(f1, f0)
                     mu3 = tuple((mu_pow[c][0][:, None, None],
                                  mu_pow[c][1][:, None, None])
                                 for c in range(3))
-                    ev = fq3.mul(ev, mu3)              # mu_k^{d+1} per row
-                    evs = tuple(gl.sum_axis(ev[c], axis=0)
-                                for c in range(3))     # comps (8, cs)
-                    Tb3 = rq._as_slots_t(
-                        (jax.lax.dynamic_slice(Tb[0], (0, j * cs), (24, cs)),
-                         jax.lax.dynamic_slice(Tb[1], (0, j * cs),
-                                               (24, cs))))
-                    evs = fq3.mul(evs, Tb3)
-                    s3 = tuple(gl.sum_axis(evs[c], axis=-1)
-                               for c in range(3))
-                    s = rq._from_slots_t(tuple(
-                        ((x[0][..., None]), (x[1][..., None]))
-                        for x in s3))
-                    s = (s[0][..., 0], s[1][..., 0])   # (24,)
+                    a3 = fq3.mul(mu3, f0)              # mu*v0
+                    b3 = fq3.mul(mu3, step3)           # mu*step
+                    Tb3 = rq._as_slots_t(Tbc)
+
+                    def body_pt(t, carry):
+                        f, mf, acc = carry
+                        fsq = fq3.square(f)
+                        ev = mf
+                        for bb0 in bsq_c0:
+                            # b^2 embeds at slot component 0 only
+                            factor = (gl.sub(fsq[0], bb0), fsq[1], fsq[2])
+                            ev = fq3.mul(ev, factor)
+                        evs = tuple(gl.sum_axis(ev[c], axis=0)
+                                    for c in range(3))   # comps (8, cs)
+                        evs = fq3.mul(evs, Tb3)
+                        s3 = tuple(gl.sum_axis(evs[c], axis=-1)
+                                   for c in range(3))
+                        s = rq._from_slots_t(tuple(
+                            ((x[0][..., None]), (x[1][..., None]))
+                            for x in s3))
+                        s = (s[0][..., 0], s[1][..., 0])  # (24,)
+                        prev = (acc[0][t], acc[1][t])
+                        nxt = gl.add(prev, s)
+                        acc = (acc[0].at[t].set(nxt[0]),
+                               acc[1].at[t].set(nxt[1]))
+                        return (fq3.add(f, step3), fq3.add(mf, b3), acc)
+
+                    _, _, acc = jax.lax.fori_loop(0, npts_h, body_pt,
+                                                  (f0, a3, acc))
                 else:
-                    f_sq = rq.ntt_mul_t(vals, vals)
-                    ev = None
-                    for bb0 in bsq_c0:
-                        bb24 = (jnp.zeros((24, 1), jnp.uint32)
-                                .at[0::3].set(bb0[0]),
-                                jnp.zeros((24, 1), jnp.uint32)
-                                .at[0::3].set(bb0[1]))
-                        factor = gl.sub(
-                            f_sq, (jnp.broadcast_to(bb24[0], f_sq[0].shape),
-                                   jnp.broadcast_to(bb24[1],
-                                                    f_sq[1].shape)))
-                        ev = factor if ev is None else rq.ntt_mul_t(ev,
-                                                                    factor)
-                    ev = vals if ev is None else rq.ntt_mul_t(ev, vals)
-                    ev = rq.ntt_scalar_mul_t(ev, mu_pow)
-                    evs = gl.sum_axis(ev, axis=0)      # (24, cs)
-                    Tbc = (jax.lax.dynamic_slice(Tb[0], (0, j * cs),
-                                                 (24, cs)),
-                           jax.lax.dynamic_slice(Tb[1], (0, j * cs),
-                                                 (24, cs)))
-                    evs = rq.ntt_mul_t(evs, Tbc)
-                    s = gl.sum_axis(evs, axis=-1)      # (24,)
-                prev = (acc[0][pt], acc[1][pt])
-                nxt = gl.add(prev, s)
-                return (acc[0].at[pt].set(nxt[0]), acc[1].at[pt].set(nxt[1]))
+                    step = gl.sub(v1, v0)
+
+                    def body_pt(t, carry):
+                        vals, acc = carry
+                        f_sq = rq.ntt_mul_t(vals, vals)
+                        ev = None
+                        for bb0 in bsq_c0:
+                            bb24 = (jnp.zeros((24, 1), jnp.uint32)
+                                    .at[0::3].set(bb0[0]),
+                                    jnp.zeros((24, 1), jnp.uint32)
+                                    .at[0::3].set(bb0[1]))
+                            factor = gl.sub(
+                                f_sq,
+                                (jnp.broadcast_to(bb24[0], f_sq[0].shape),
+                                 jnp.broadcast_to(bb24[1], f_sq[1].shape)))
+                            ev = (factor if ev is None
+                                  else rq.ntt_mul_t(ev, factor))
+                        ev = vals if ev is None else rq.ntt_mul_t(ev, vals)
+                        ev = rq.ntt_scalar_mul_t(ev, mu_pow)
+                        evs = gl.sum_axis(ev, axis=0)    # (24, cs)
+                        evs = rq.ntt_mul_t(evs, Tbc)
+                        s = gl.sum_axis(evs, axis=-1)    # (24,)
+                        prev = (acc[0][t], acc[1][t])
+                        nxt = gl.add(prev, s)
+                        acc = (acc[0].at[t].set(nxt[0]),
+                               acc[1].at[t].set(nxt[1]))
+                        return (gl.add(vals, step), acc)
+
+                    _, acc = jax.lax.fori_loop(0, npts_h, body_pt,
+                                               (v0, acc))
+                return acc
 
             init = (jnp.zeros((npts_h, 24), jnp.uint32),
                     jnp.zeros((npts_h, 24), jnp.uint32))
-            Sh = jax.lax.fori_loop(0, npts_h * chunks, body, init)
+            Sh = jax.lax.fori_loop(0, chunks, body, init)
             # one packed sums output -> ONE host fetch per round (each
             # separate fetch is a ~25 ms tunnel round trip)
             S_all = (jnp.concatenate([Sh[0], Sc0[0], Sc1[0]]),

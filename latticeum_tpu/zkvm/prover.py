@@ -187,8 +187,13 @@ class ZkVmProver:
         return CCCS(cm=cm, x_ccs=x_ccs), wit
 
     def fold(self, acc, w_acc, cm_i, w_i):
-        """Fresh transcript per fold (main.rs:379-404)."""
-        t = Transcript()
+        """Fresh transcript per fold (main.rs:379-404).
+
+        The transcript records its sample stream so the verifier-vars
+        collector can replay challenges without re-hashing (~0.25 s/step
+        of duplicated Poseidon2 absorbs at production scale)."""
+        t = Transcript(record_samples=True)
+        self._last_fold_samples = t.samples
         if self.dn is not None:
             return self.dn.prove(acc, w_acc, cm_i, w_i, t, log=self.log,
                                  timings=self.timings)
@@ -260,6 +265,21 @@ class ZkVmProver:
             step = trace.cycle + 1
             if max_steps is not None and step > max_steps:
                 raise StopIteration
+            import os as _os
+            if _os.environ.get("LATTICEUM_PROFILE_STEP") == str(step):
+                import cProfile
+                import pstats
+                pr = cProfile.Profile()
+                pr.enable()
+                try:
+                    return _intercept_body(trace, vm_ref, step)
+                finally:
+                    pr.disable()
+                    pstats.Stats(pr).sort_stats("cumulative").dump_stats(
+                        f"/tmp/step{step}.prof")
+            return _intercept_body(trace, vm_ref, step)
+
+        def _intercept_body(trace, vm_ref, step):
             t0 = time.time()
             mem_op = trace.side_effects.memory_op
             nonlocal mem_comm, mem_ops_comm
@@ -301,8 +321,28 @@ class ZkVmProver:
             if self.debug:
                 self.verify_fold(state.acc, cm_i, proof)
                 mark("native_verify")
-            fvars = generate_verification_witness_vars(
-                state.acc, cm_i, proof, self.ccs, self.dp, Transcript)
+            import os as _os
+            # replay the prover's recorded transcript samples (bit-exact;
+            # falls back to a full re-hashing replay if recording is off)
+            samples = getattr(self, "_last_fold_samples", None)
+            if samples is not None:
+                from ..crypto.transcript import ReplayTranscript
+                factory = (lambda: ReplayTranscript(samples))
+            else:
+                factory = Transcript
+            if _os.environ.get("LATTICEUM_PROFILE_COLLECT"):
+                import cProfile
+                import pstats
+                pr = cProfile.Profile()
+                pr.enable()
+                fvars = generate_verification_witness_vars(
+                    state.acc, cm_i, proof, self.ccs, self.dp, factory)
+                pr.disable()
+                pstats.Stats(pr).sort_stats("cumulative").dump_stats(
+                    f"/tmp/collect_step{step}.prof")
+            else:
+                fvars = generate_verification_witness_vars(
+                    state.acc, cm_i, proof, self.ccs, self.dp, factory)
             mark("collector")
 
             state_i_comm = self._state_comm(code_comm, trace.output.pc,

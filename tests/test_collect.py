@@ -220,3 +220,44 @@ def test_collect_folding_vars_chain_matches_scalar():
     assert vars_["claim_g3_h"] == g3_h
     assert vars_["claim_g3"] == g3
     assert len(vars_["final_u_products"]) == n_i * t
+
+
+def test_replay_transcript_collector_equality():
+    """The collector fed a ReplayTranscript (recorded prover samples, no
+    re-hashing) must produce byte-identical vars to the full re-hash
+    replay — the production prover path (prover.fold records samples)."""
+    import numpy as np
+
+    from latticeum_tpu.commit.ajtai import AjtaiScheme
+    from latticeum_tpu.crypto.transcript import ReplayTranscript, Transcript
+    from latticeum_tpu.field import goldilocks as gl, host as H
+    from latticeum_tpu.nifs import linearization as lin, nifs
+    from latticeum_tpu.nifs.nifs import DecompositionParams
+    from latticeum_tpu.nifs.structs import CCCS, Witness
+    from latticeum_tpu.nifs.test_fixtures import (TEST_B, TEST_B_SMALL,
+                                                  TEST_K, TEST_L,
+                                                  get_test_ccs, get_test_z,
+                                                  z_to_device)
+
+    params = DecompositionParams(B=TEST_B, L=TEST_L, B_SMALL=TEST_B_SMALL,
+                                 K=TEST_K)
+    ccs = get_test_ccs()
+    z_host = get_test_z(3)
+    wit = Witness.from_w_ccs(z_to_device(z_host[2:]), TEST_B, TEST_L)
+    scheme = AjtaiScheme.from_seed(kappa=4, n=wit.f[0].shape[0],
+                                   row_constant=True)
+    cm_i = CCCS(cm=scheme.commit_host(wit.f), x_ccs=z_host[:1])
+    acc_wit = Witness.from_w_ccs(gl.zeros((ccs.n - ccs.l - 1, 24)),
+                                 TEST_B, TEST_L)
+    acc, _, _ = lin.prove(
+        CCCS(cm=scheme.commit_host(acc_wit.f), x_ccs=[H.ntt_zero()]),
+        acc_wit, Transcript(), ccs)
+    t = Transcript(record_samples=True)
+    _, _, proof = nifs.prove(acc, acc_wit, cm_i, wit, t, ccs, scheme,
+                             params)
+    from latticeum_tpu.zkvm.collect import generate_verification_witness_vars
+    v_rehash = generate_verification_witness_vars(acc, cm_i, proof, ccs,
+                                                  params, Transcript)
+    v_replay = generate_verification_witness_vars(
+        acc, cm_i, proof, ccs, params, lambda: ReplayTranscript(t.samples))
+    assert repr(v_rehash) == repr(v_replay)

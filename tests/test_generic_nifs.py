@@ -17,6 +17,9 @@ def _params(ring):
     # B^L >= q, b_small^K = B
     if ring.p.bit_length() > 64:          # stark q ~ 2^251.5
         B, L, b_small, K = 1 << 63, 4, 2, 63
+    elif ring.p.bit_length() > 32:        # goldilocks q ~ 2^64
+        # L=8 keeps (n-l-1)*L a power of two (the generic MLEs are unpadded)
+        B, L, b_small, K = 1 << 16, 8, 2, 16
     else:                                 # babybear q ~ 2^31
         B, L, b_small, K = 1 << 16, 2, 2, 16
     assert b_small ** K == B and B ** L > ring.p
