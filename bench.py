@@ -40,7 +40,8 @@ def main():
             print(f"[{time.time()-t0:7.1f}s] {msg}", file=sys.stderr,
                   flush=True)
 
-    prover = ZkVmProver(device=True, t_layout=True,
+    tail = int(os.environ.get("LATTICEUM_TAIL", "512"))
+    prover = ZkVmProver(device=True, t_layout=True, tail_threshold=tail,
                         log=log if verbose else None)
     log("prover ready (ccs + device engine built)")
     vm = new_vm_1mb().load_elf_data(fib_const_guest(0xC594BFC3))

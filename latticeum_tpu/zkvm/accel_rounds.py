@@ -573,6 +573,14 @@ def run_fold_rounds_factored(engine, transcript, parts, nv, degree,
         half = n_cur // 2
         chunks = _chunks_for(rows * 24 * half * 8, half, budget)
         cs = half // chunks
+        # Round 0 only: the tail rows are the BALANCED DIGITS of the K
+        # decomposed witnesses (|digit| <= b_small/2 <= b_small-1), so
+        # h(f) = mu*f*prod_b(f^2-b^2) vanishes IDENTICALLY at the
+        # hypercube points t=0,1 (every digit is a root of f*prod(f^2-b^2))
+        # — S_h(0) = S_h(1) = 0 exactly for the honest decomposed witness;
+        # only the 2*b_small-2 off-hypercube points need computing.  Rounds
+        # >= 1 fold in challenges and lose the digit structure.
+        pt0 = 2 if not fold_first else 0
 
         def fn(t_s, c2r, eqs, mu_pow, r3):
             import jax
@@ -621,9 +629,13 @@ def run_fold_rounds_factored(engine, transcript, parts, nv, degree,
                     a3 = fq3.mul(mu3, f0)              # mu*v0
                     b3 = fq3.mul(mu3, step3)           # mu*step
                     Tb3 = rq._as_slots_t(Tbc)
+                    for _ in range(pt0):               # skip t=0,1 (zeros)
+                        f0 = fq3.add(f0, step3)
+                        a3 = fq3.add(a3, b3)
 
                     def body_pt(t, carry):
                         f, mf, acc = carry
+                        t = t + pt0
                         fsq = fq3.square(f)
                         ev = mf
                         for bb0 in bsq_c0:
@@ -645,13 +657,16 @@ def run_fold_rounds_factored(engine, transcript, parts, nv, degree,
                                acc[1].at[t].set(nxt[1]))
                         return (fq3.add(f, step3), fq3.add(mf, b3), acc)
 
-                    _, _, acc = jax.lax.fori_loop(0, npts_h, body_pt,
-                                                  (f0, a3, acc))
+                    _, _, acc = jax.lax.fori_loop(0, npts_h - pt0,
+                                                  body_pt, (f0, a3, acc))
                 else:
                     step = gl.sub(v1, v0)
+                    if pt0:                            # skip t=0,1 (zeros)
+                        v0 = gl.add(v1, step)
 
                     def body_pt(t, carry):
                         vals, acc = carry
+                        t = t + pt0
                         f_sq = rq.ntt_mul_t(vals, vals)
                         ev = None
                         for bb0 in bsq_c0:
@@ -676,7 +691,7 @@ def run_fold_rounds_factored(engine, transcript, parts, nv, degree,
                                acc[1].at[t].set(nxt[1]))
                         return (gl.add(vals, step), acc)
 
-                    _, acc = jax.lax.fori_loop(0, npts_h, body_pt,
+                    _, acc = jax.lax.fori_loop(0, npts_h - pt0, body_pt,
                                                (v0, acc))
                 return acc
 

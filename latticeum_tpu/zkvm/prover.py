@@ -92,7 +92,7 @@ class IVCState:
 class ZkVmProver:
     def __init__(self, params=None, scheme_seed: int = 0, debug: bool = False,
                  device: bool = False, t_layout: bool = True,
-                 tail_threshold: int = 512, log=None,
+                 tail_threshold: int = 2048, log=None,
                  reference_scheme: bool = False,
                  general_ajtai: bool = False):
         """device=True routes the fold hot path (witness pipeline, Ajtai,

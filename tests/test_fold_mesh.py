@@ -26,3 +26,27 @@ def test_sharded_fold_sumcheck_matches_single_device():
     assert res["transcript_equal"]
     assert res["ajtai_equal"]
     assert res["rounds_total"] == 9
+
+
+def test_sharded_fold_K15_production_shape_matches_single_device():
+    """VERDICT r04 item 5: the PRODUCTION decomposition shape (K=15 ->
+    the 95-MLE stack) sharded over the 8-device mesh must be bit-exact
+    with the single-device run — proof, challenges, finals, transcript,
+    Ajtai.  m is reduced (2^8) to keep the XLA:CPU compile bill inside the
+    suite; the K-dimension (which sets the comb structure and caught
+    nothing at the old K=2) is the production value.  The full m=2^10 run
+    lives in scripts/mesh_validate.py (MESH_r04.log)."""
+    B.use_jax()
+    try:
+        from latticeum_tpu.parallel import fold_mesh
+        res = fold_mesh.sharded_vs_single(8, m=1 << 8, K=15, tail=64,
+                                          with_collective_count=False)
+    finally:
+        B.use_numpy()
+    assert res["proof_equal"]
+    assert res["chals_equal"]
+    assert res["final_equal"]
+    assert res["transcript_equal"]
+    assert res["ajtai_equal"]
+    assert res["mles"] == 95
+    assert res["rounds_total"] == 8
