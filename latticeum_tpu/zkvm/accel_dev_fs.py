@@ -211,7 +211,8 @@ def _scan_rounds(state, pend, parts, n_rounds, degree, part_comb, consts,
 
 def run_fixed_phase_dev(engine, transcript, parts, nv, r0, degree, comb_key,
                         part_comb, consts_dev, eq_info_rev, chals,
-                        log=None):
+                        log=None, dev_state=None, dev_chals=None,
+                        return_device=False):
     """Drop-in replacement for accel_rounds._fixed_phase: one dispatch.
 
     Finishes rounds r0..nv on device with fixed-width buffers AND the
@@ -219,7 +220,16 @@ def run_fixed_phase_dev(engine, transcript, parts, nv, r0, degree, comb_key,
     eq reconstruction tail (betas are host constants; the traced challenges
     feed the eqf scale product).  One fetch at the end returns all round
     messages, challenges, finals, and the challenger state; the host
-    transcript is then synced (absorptions list + challenger import)."""
+    transcript is then synced (absorptions list + challenger import).
+
+    Device-chained entry (accel_rounds chain mode): `dev_state` =
+    (state16_pair, pend_pair) device challenger state from the chained
+    shrink rounds (skips the host transcript export), `dev_chals` =
+    ((T0, 3) lo, hi) device array of the shrink-round challenges (replaces
+    the host `chals` list in the recon eqf-scale product), and
+    `return_device=True` defers the fetch + host bookkeeping to the caller
+    (finish_fixed_phase_host) so the entire sum-check is one device chain
+    with a single fetch."""
     import time as _time
     import jax as _jax
 
@@ -231,6 +241,7 @@ def run_fixed_phase_dev(engine, transcript, parts, nv, r0, degree, comb_key,
     T1 = min(nv - r0, max(F.bit_length() - 1, 0))
     r1 = r0 + T1
     recon = r1 < nv
+    dev_mode = dev_state is not None
     if recon:
         assert eq_info_rev is not None, \
             "actives exhausted before nv but no eq reconstruction info"
@@ -245,20 +256,34 @@ def run_fixed_phase_dev(engine, transcript, parts, nv, r0, degree, comb_key,
             tab_np = (np.moveaxis(np.asarray(tab_std[0]), 0, 1),
                       np.moveaxis(np.asarray(tab_std[1]), 0, 1))  # (24, rest)
             scale0 = (1, 0, 0)
-            for rj, bj in zip(chals, beta_list):
-                from .accel_rounds import _eqf_at
-                scale0 = H.fq3_mul(scale0, _eqf_at(bj, rj))
-        betas_dev_np = np.asarray(
-            [[int(x) % P for x in beta_list[r0 + i]] for i in range(T1)],
-            dtype=np.uint64)                                   # (T1, 3)
+            if not dev_mode:
+                for rj, bj in zip(chals, beta_list):
+                    from .accel_rounds import _eqf_at
+                    scale0 = H.fq3_mul(scale0, _eqf_at(bj, rj))
+        if dev_mode:
+            # the shrink challenges are device-resident: fold ALL rounds'
+            # eqf factors (0..r1) into the traced fori instead
+            betas_dev_np = np.asarray(
+                [[int(x) % P for x in beta_list[i]] for i in range(r1)],
+                dtype=np.uint64)                               # (r1, 3)
+        else:
+            betas_dev_np = np.asarray(
+                [[int(x) % P for x in beta_list[r0 + i]] for i in range(T1)],
+                dtype=np.uint64)                               # (T1, 3)
 
     # challenger export: the host transcript state enters the graph as
     # runtime inputs (NOT baked into the trace — kernels are shape-keyed)
-    state_h, inbuf_h = transcript.export_for_device()
-    b = len(inbuf_h)
+    if dev_mode:
+        state0, pend0_dev = dev_state
+        b = int(pend0_dev[0].shape[0])
+    else:
+        state_h, inbuf_h = transcript.export_for_device()
+        b = len(inbuf_h)
     pc = _p2_consts()
+    T0 = int(dev_chals[0].shape[0]) if (dev_mode and dev_chals is not None) \
+        else 0
 
-    def fn(state, pend0, parts, consts):
+    def fn(state, pend0, parts, consts, chals0=None):
         # round r0: pending = the host's input buffer (b values, static)
         sums0 = accel_t.sumcheck_sums_parts(parts, degree, part_comb,
                                             consts, chunks=1)
@@ -287,19 +312,29 @@ def run_fixed_phase_dev(engine, transcript, parts, nv, r0, degree, comb_key,
                   B.xp.concatenate([p[1][..., 0] for p in parts]))
 
         if recon:
-            # scale = scale0 * prod_i eqf(beta_{r0+i}, r_i) (traced chals)
+            # scale = scale0 * prod_i eqf(beta_i, r_i) over the traced
+            # challenges (dev_mode: ALL rounds' challenges — the shrink
+            # ones arrive as the chals0 input; else: this phase's only,
+            # with the host rounds folded into scale0)
             betas = _pair_const(betas_dev_np)
             sc = tuple(gl.const(x) for x in scale0)
+            if dev_mode and chals0 is not None:
+                ch_all = (B.xp.concatenate([chals0[0], chals_d[0]]),
+                          B.xp.concatenate([chals0[1], chals_d[1]]))
+                n_sc = T0 + T1
+            else:
+                ch_all = chals_d
+                n_sc = T1
 
             def sc_body(i, s3):
                 b3 = tuple((betas[0][i, c], betas[1][i, c])
                            for c in range(3))
-                r3_ = tuple((chals_d[0][i, c], chals_d[1][i, c])
+                r3_ = tuple((ch_all[0][i, c], ch_all[1][i, c])
                             for c in range(3))
                 e = _eqf_dev(b3, r3_)
                 return fq3.mul(s3, e)
 
-            sc = _jax.lax.fori_loop(0, T1, sc_body, sc)
+            sc = _jax.lax.fori_loop(0, n_sc, sc_body, sc)
             tab_c = (B.xp.asarray(tab_np[0]), B.xp.asarray(tab_np[1]))
             tab = rq.ntt_scalar_mul_t(tab_c, sc)
             st_lo = B.xp.zeros((k, 24, rest), B.xp.uint32)
@@ -316,13 +351,30 @@ def run_fixed_phase_dev(engine, transcript, parts, nv, r0, degree, comb_key,
         return (msgs, chals_d, finals, state, pend)
 
     jf = engine._jit((comb_key, "devfs", k, F, nb, r0, nv, degree, b,
-                      bool(recon)), fn, donate_argnums=(2,))
-    pend0 = _pair_const([int(v) % P for v in inbuf_h])
-    state0 = _pair_const([int(v) % P for v in state_h])
+                      bool(recon), dev_mode, T0), fn, donate_argnums=(2,))
+    if dev_mode:
+        pend0, state0 = pend0_dev, state0
+    else:
+        pend0 = _pair_const([int(v) % P for v in inbuf_h])
+        state0 = _pair_const([int(v) % P for v in state_h])
     with B.jax_mode():
-        out = jf(state0, pend0, parts, consts_dev)
+        if dev_mode and dev_chals is not None:
+            out = jf(state0, pend0, parts, consts_dev, dev_chals)
+        else:
+            out = jf(state0, pend0, parts, consts_dev)
+    meta = {"recon": recon, "r0": r0, "nv": nv, "t_fx": t_fx}
+    if return_device:
+        return out, meta
     out = _jax.device_get(out)
-    if recon:
+    return finish_fixed_phase_host(transcript, out, meta, log=log)
+
+
+def finish_fixed_phase_host(transcript, out, meta, log=None):
+    """Host bookkeeping for a fetched run_fixed_phase_dev output: proof
+    rows, transcript absorptions + recorded samples, challenger resync."""
+    import time as _time
+
+    if meta["recon"]:
         msgs, chals_d, msgs2, chals2, finals, state_f, pend_f = out
         msg_rows = [np.asarray(msgs[0]), np.asarray(msgs[1])]
         msg_rows2 = [np.asarray(msgs2[0]), np.asarray(msgs2[1])]
@@ -358,6 +410,7 @@ def run_fixed_phase_dev(engine, transcript, parts, nv, r0, degree, comb_key,
                                     np.asarray(pend_f[1])))])
     final = tuple(np.asarray(a) for a in finals)
     if log:
-        log(f"      devfs fixed r{r0}..{nv} ({len(proof)} rounds, "
-            f"1 dispatch): {_time.time()-t_fx:.3f}s")
+        log(f"      devfs fixed r{meta['r0']}..{meta['nv']} "
+            f"({len(proof)} rounds, 1 dispatch): "
+            f"{_time.time()-meta['t_fx']:.3f}s")
     return proof, out_chals, final

@@ -49,15 +49,28 @@ degree+1-point message by exact Lagrange extension on host integers.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .. import backend as B
-from ..field import goldilocks as gl, host as H
+from ..field import fq3, goldilocks as gl, host as H
 from ..ring import rq
 from . import accel_t
 from .accel_fs import _lagrange_ext_consts
 
 P = gl.P
+
+
+def _chain_enabled(engine):
+    """Device-chained shrink rounds (default ON): every shrink round's
+    Lagrange extension, eq weighting, Fiat-Shamir absorb/sample, and E
+    update run as small shared device kernels chained through device
+    arrays — no host fetch until the whole sum-check (shrink + fixed
+    phase) has been enqueued.  Kills the ~25-60 ms/round fetch+dispatch
+    floor of the host-FS loop (~10 rounds/step)."""
+    return (getattr(engine, "device_fs", True)
+            and os.environ.get("LATTICEUM_CHAIN", "1") == "1")
 
 
 # -- host-side Fq3 / extension helpers --------------------------------------
@@ -263,6 +276,149 @@ def _fixed_phase(engine, transcript, parts, nv, r0, degree, comb_key,
     return proof, out_chals, final
 
 
+# -- device-chained round tails ---------------------------------------------
+#
+# Shared small kernels (one compile each, reused for EVERY round and every
+# step): Lagrange-extend the fetched-free contraction sums to the message
+# points, weight by E*eqf(beta_r, t), absorb + sample via the device duplex
+# challenger (accel_dev_fs.challenger_step), and update the running eq
+# prefix E.  All exact uint32 limb math — messages are bit-identical to the
+# host-FS path (same field ops, same order).
+
+def _limbs_dev(obj_arr):
+    """Host object-int array -> device (lo, hi) pair (built on host)."""
+    with B.numpy_mode():
+        limbs = gl.from_int(np.asarray(obj_arr, dtype=object))
+    return (B.xp.asarray(np.asarray(limbs[0])),
+            B.xp.asarray(np.asarray(limbs[1])))
+
+
+def _eqf_t_dev(b3, t):
+    """eqf(b, t) at static integer t for a device fq3 triple."""
+    s = (2 * t - 1) % P
+    e0 = gl.add(gl.mul_const(b3[0], s), gl.const((1 - t) % P))
+    return (e0, gl.mul_const(b3[1], s), gl.mul_const(b3[2], s))
+
+
+def _make_weight_lin(n_msg, npts):
+    def fn(Sq, E, beta, ext):
+        # Sq ((npts, 24) lo, hi) -> S_ext (n_msg, 24) via the static
+        # Lagrange matrix; rows then get the E*eqf(beta_r, t) fq3 weight
+        prod = gl.mul((ext[0][:, :, None], ext[1][:, :, None]),
+                      (Sq[0][None], Sq[1][None]))
+        S_ext = gl.sum_axis(prod, axis=1)
+        E3 = tuple((E[0][c], E[1][c]) for c in range(3))
+        b3 = tuple((beta[0][c], beta[1][c]) for c in range(3))
+        rows_lo, rows_hi = [], []
+        for t in range(n_msg):
+            w = fq3.mul(E3, _eqf_t_dev(b3, t))
+            row = rq.ntt_scalar_mul_t(
+                (S_ext[0][t][:, None], S_ext[1][t][:, None]), w)
+            rows_lo.append(row[0][:, 0])
+            rows_hi.append(row[1][:, 0])
+        return (B.xp.stack(rows_lo), B.xp.stack(rows_hi))
+    return fn
+
+
+def _make_weight_fold(n_msg, npts_h):
+    def fn(S_all, Es, eqp, exth, extc):
+        # S_all ((npts_h + 4, 24)): h sums at npts_h points, then the two
+        # c-term rows at point 0, then at point 1.  Es/eqp: ((3, 3) lo, hi)
+        # [table][comp] — tables (r1, r2, beta).
+        Sh = (S_all[0][:npts_h], S_all[1][:npts_h])
+        exts = []
+        for tbl in range(2):
+            Spts = (B.xp.stack([S_all[0][npts_h + tbl],
+                                S_all[0][npts_h + 2 + tbl]]),
+                    B.xp.stack([S_all[1][npts_h + tbl],
+                                S_all[1][npts_h + 2 + tbl]]))
+            prod = gl.mul((extc[0][:, :, None], extc[1][:, :, None]),
+                          (Spts[0][None], Spts[1][None]))
+            exts.append((tbl, gl.sum_axis(prod, axis=1)))
+        prod = gl.mul((exth[0][:, :, None], exth[1][:, :, None]),
+                      (Sh[0][None], Sh[1][None]))
+        exts.append((2, gl.sum_axis(prod, axis=1)))
+        rows_lo, rows_hi = [], []
+        for t in range(n_msg):
+            acc = None
+            for tbl, S_ext in exts:
+                E3 = tuple((Es[0][tbl, c], Es[1][tbl, c]) for c in range(3))
+                b3 = tuple((eqp[0][tbl, c], eqp[1][tbl, c])
+                           for c in range(3))
+                w = fq3.mul(E3, _eqf_t_dev(b3, t))
+                row = rq.ntt_scalar_mul_t(
+                    (S_ext[0][t][:, None], S_ext[1][t][:, None]), w)
+                acc = row if acc is None else gl.add(acc, row)
+            rows_lo.append(acc[0][:, 0])
+            rows_hi.append(acc[1][:, 0])
+        return (B.xp.stack(rows_lo), B.xp.stack(rows_hi))
+    return fn
+
+
+def _make_chal_fn():
+    from . import accel_dev_fs as DFS
+
+    def fn(state, pend, msg):
+        pc = DFS._p2_consts()
+        buf = (B.xp.concatenate([pend[0], msg[0].reshape(-1)]),
+               B.xp.concatenate([pend[1], msg[1].reshape(-1)]))
+        st, chal = DFS.challenger_step(state, buf, pc)
+        pend2 = (B.xp.stack([c[0] for c in chal]),
+                 B.xp.stack([c[1] for c in chal]))
+        return st, pend2
+    return fn
+
+
+def _eupd_fn(E, beta, chal):
+    from .accel_dev_fs import _eqf_dev
+    E3 = tuple((E[0][c], E[1][c]) for c in range(3))
+    b3 = tuple((beta[0][c], beta[1][c]) for c in range(3))
+    r3 = tuple((chal[0][c], chal[1][c]) for c in range(3))
+    En = fq3.mul(E3, _eqf_dev(b3, r3))
+    return (B.xp.stack([x[0] for x in En]), B.xp.stack([x[1] for x in En]))
+
+
+def _eupd3_fn(Es, eqp, chal):
+    from .accel_dev_fs import _eqf_dev
+    r3 = tuple((chal[0][c], chal[1][c]) for c in range(3))
+    lo_rows, hi_rows = [], []
+    for tbl in range(3):
+        E3 = tuple((Es[0][tbl, c], Es[1][tbl, c]) for c in range(3))
+        b3 = tuple((eqp[0][tbl, c], eqp[1][tbl, c]) for c in range(3))
+        En = fq3.mul(E3, _eqf_dev(b3, r3))
+        lo_rows.append(B.xp.stack([x[0] for x in En]))
+        hi_rows.append(B.xp.stack([x[1] for x in En]))
+    return (B.xp.stack(lo_rows), B.xp.stack(hi_rows))
+
+
+def _chain_export(transcript):
+    from . import accel_dev_fs as DFS
+    state_h, inbuf_h = transcript.export_for_device()
+    state = DFS._pair_const([int(v) % P for v in state_h])
+    pend = DFS._pair_const([int(v) % P for v in inbuf_h])
+    return state, pend
+
+
+def _chain_bookkeep(transcript, msgs_np, chals_np):
+    """Fetched shrink-round messages/challenges -> proof rows + transcript
+    absorptions + recorded samples (order matters: before the fixed
+    phase's finish_fixed_phase_host)."""
+    proof, chals = [], []
+    for i in range(len(msgs_np)):
+        mi = gl.to_int((np.asarray(msgs_np[i][0]),
+                        np.asarray(msgs_np[i][1])))
+        msg = [[int(v) for v in row] for row in mi]
+        transcript.absorptions.append([list(x) for x in msg])
+        proof.append(msg)
+        ci = gl.to_int((np.asarray(chals_np[i][0]),
+                        np.asarray(chals_np[i][1])))
+        ch3 = tuple(int(v) for v in ci)
+        chals.append(ch3)
+        if transcript.samples is not None:
+            transcript.samples.extend(ch3)
+    return proof, chals
+
+
 # ---------------------------------------------------------------------------
 # linearization
 # ---------------------------------------------------------------------------
@@ -437,6 +593,94 @@ def run_lin_rounds_factored(engine, transcript, g_t, nv, degree, comb_key,
             return mz, Tn, Sq
 
         return fn
+
+    chain = _chain_enabled(engine)
+    if chain:
+        # device-chained rounds: weights, challenger, and E live on device;
+        # nothing is fetched until the fixed phase has been enqueued too
+        from . import accel_dev_fs as DFS
+        import jax as _jax
+        with B.jax_mode():
+            state, pend = _chain_export(transcript)
+            ext_l = _limbs_dev(ext_q)
+            betas_l = _limbs_dev(np.array(
+                [[int(x) % P for x in b] for b in beta_s], dtype=object))
+            E_d = (B.xp.asarray(np.array([1, 0, 0], np.uint32)),
+                   B.xp.zeros(3, np.uint32))
+            r3_d = tuple((B.xp.zeros((), np.uint32),
+                          B.xp.zeros((), np.uint32)) for _ in range(3))
+        wjf = engine._jit(("linw_chain", n_msg, npts_q),
+                          _make_weight_lin(n_msg, npts_q))
+        ejf = engine._jit(("eupd_chain",), _eupd_fn)
+        msgs_d, chals_d = [], []
+        n_cur, r = n0, 0
+        while r < nv:
+            n_eff = n_cur // 2 if r > 0 else n_cur
+            if n_eff < 2 or n_eff // 2 < max(engine.tail, 1):
+                break
+            fold_first = r > 0
+            jf = engine._jit((comb_key, "linfr", t_rows, n_cur, fold_first,
+                              budget, comp_split),
+                             make_round(n_cur, fold_first),
+                             donate_argnums=(0, 1))
+            t_r = time.time()
+            with B.jax_mode():
+                mz, eq, Sq = jf(mz, eq, consts_dev, r3_d)
+                beta_r = (betas_l[0][r], betas_l[1][r])
+                msg = wjf(Sq, E_d, beta_r, ext_l)
+                L = int(pend[0].shape[0]) + n_msg * 24
+                cjf = engine._jit(("chal_chain", L), _make_chal_fn())
+                state, pend = cjf(state, pend, msg)
+                E_d = ejf(E_d, beta_r, pend)
+                r3_d = tuple((pend[0][c], pend[1][c]) for c in range(3))
+            msgs_d.append(msg)
+            chals_d.append(pend)
+            if log:
+                log(f"      lin chain r{r} (n={n_eff}) enqueued "
+                    f"+{time.time()-t_r:.3f}s")
+            if fold_first:
+                n_cur //= 2
+            r += 1
+
+        fold_pending = r > 0
+
+        def fix_entry(mz, eq, r3, E3):
+            if fold_pending:
+                mz = _fold_t(mz, r3)
+            eqr = rq.ntt_scalar_mul_t(eq, E3)
+            return (B.xp.concatenate([mz[0], eqr[0][None]]),
+                    B.xp.concatenate([mz[1], eqr[1][None]]))
+
+        jfix = engine._jit((comb_key, "fixentry", t_rows, n_cur,
+                            fold_pending), fix_entry, donate_argnums=(0, 1))
+        with B.jax_mode():
+            E3_d = tuple((E_d[0][c], E_d[1][c]) for c in range(3))
+            stack = jfix(mz, eq, r3_d, E3_d)
+            dev_chals = ((B.xp.stack([c[0] for c in chals_d]),
+                          B.xp.stack([c[1] for c in chals_d]))
+                         if chals_d else None)
+        part_comb = (lambda vals, c: comb_t(vals[0], c))
+        out_dev, meta = DFS.run_fixed_phase_dev(
+            engine, transcript, [stack], nv, r, degree, comb_key,
+            part_comb, consts_dev, (beta_s, t_rows), None, log=log,
+            dev_state=(state, pend), dev_chals=dev_chals,
+            return_device=True)
+        if log:
+            log(f"        lin chain fully enqueued at "
+                f"{time.time()-t_start:.2f}s")
+        msgs_np, chals_np, out_np = _jax.device_get(
+            (msgs_d, chals_d, out_dev))
+        proof, chals = _chain_bookkeep(transcript, msgs_np, chals_np)
+        tp, tc, final = DFS.finish_fixed_phase_host(transcript, out_np,
+                                                    meta, log=log)
+        proof.extend(tp)
+        chals.extend(tc)
+        final = (np.asarray(final[0]).reshape(-1, 24),
+                 np.asarray(final[1]).reshape(-1, 24))
+        if log:
+            log(f"lin rounds chained ({r} dev + {nv-r} fixed): "
+                f"{time.time()-t_start:.2f}s")
+        return proof, chals, final
 
     E = (1, 0, 0)
     proof, chals = [], []
@@ -705,6 +949,102 @@ def run_fold_rounds_factored(engine, transcript, parts, nv, degree,
             return t_s, c2r, Tn, S_all
 
         return fn
+
+    chain = _chain_enabled(engine)
+    if chain:
+        from . import accel_dev_fs as DFS
+        import jax as _jax
+        with B.jax_mode():
+            state, pend = _chain_export(transcript)
+            exth_l = _limbs_dev(ext_h)
+            extc_l = _limbs_dev(ext_c)
+            # eq points as a (3, nv, 3) limb pair [table][round][comp]
+            eqp_l = _limbs_dev(np.array(
+                [[[int(x) % P for x in pt] for pt in tbl]
+                 for tbl in eq_points], dtype=object))
+            Es_d = (B.xp.asarray(np.tile(np.array([1, 0, 0], np.uint32),
+                                         (3, 1))),
+                    B.xp.zeros((3, 3), np.uint32))
+            r3_d = tuple((B.xp.zeros((), np.uint32),
+                          B.xp.zeros((), np.uint32)) for _ in range(3))
+        wjf = engine._jit(("foldw_chain", n_msg, npts_h),
+                          _make_weight_fold(n_msg, npts_h))
+        ejf = engine._jit(("eupd3_chain",), _eupd3_fn)
+        msgs_d, chals_d = [], []
+        n_cur, r = n0, 0
+        while r < nv:
+            n_eff = n_cur // 2 if r > 0 else n_cur
+            if n_eff < 2 or n_eff // 2 < max(engine.tail, 1):
+                break
+            fold_first = r > 0
+            jf = engine._jit((comb_key, "foldfr", rows, n_cur, fold_first,
+                              budget, comp_split),
+                             make_round(n_cur, fold_first),
+                             donate_argnums=(0, 1, 2))
+            t_r = time.time()
+            with B.jax_mode():
+                t_s, c2r, eqs, S_all = jf(t_s, c2r, eqs, mu_pow, r3_d)
+                eqp_r = (eqp_l[0][:, r], eqp_l[1][:, r])      # (3, 3)
+                msg = wjf(S_all, Es_d, eqp_r, exth_l, extc_l)
+                L = int(pend[0].shape[0]) + n_msg * 24
+                cjf = engine._jit(("chal_chain", L), _make_chal_fn())
+                state, pend = cjf(state, pend, msg)
+                Es_d = ejf(Es_d, eqp_r, pend)
+                r3_d = tuple((pend[0][c], pend[1][c]) for c in range(3))
+            msgs_d.append(msg)
+            chals_d.append(pend)
+            if log:
+                log(f"      fold chain r{r} (n={n_eff}) enqueued "
+                    f"+{time.time()-t_r:.3f}s")
+            if fold_first:
+                n_cur //= 2
+            r += 1
+
+        fold_pending = r > 0
+
+        def fix_entry(t_s, c2r, eqs, r3, E3s):
+            if fold_pending:
+                t_s = _fold_t(t_s, r3)
+                c2r = _fold_t(c2r, r3)
+            eqr = [rq.ntt_scalar_mul_t((eqs[0][i], eqs[1][i]), E3s[i])
+                   for i in range(3)]
+            head = (B.xp.stack([eqr[0][0], c2r[0][0], eqr[1][0],
+                                c2r[0][1], eqr[2][0]]),
+                    B.xp.stack([eqr[0][1], c2r[1][0], eqr[1][1],
+                                c2r[1][1], eqr[2][1]]))
+            return head, t_s
+
+        jfix = engine._jit((comb_key, "fixentry", rows, n_cur,
+                            fold_pending), fix_entry,
+                           donate_argnums=(0, 1, 2))
+        with B.jax_mode():
+            E3s_d = [tuple((Es_d[0][tbl, c], Es_d[1][tbl, c])
+                           for c in range(3)) for tbl in range(3)]
+            head_f, tail_f = jfix(t_s, c2r, eqs, r3_d, E3s_d)
+            dev_chals = ((B.xp.stack([c[0] for c in chals_d]),
+                          B.xp.stack([c[1] for c in chals_d]))
+                         if chals_d else None)
+        out_dev, meta = DFS.run_fixed_phase_dev(
+            engine, transcript, [head_f, tail_f], nv, r, degree, comb_key,
+            comb_t, consts_dev, None, None, log=log,
+            dev_state=(state, pend), dev_chals=dev_chals,
+            return_device=True)
+        if log:
+            log(f"        fold chain fully enqueued at "
+                f"{time.time()-t_start:.2f}s")
+        msgs_np, chals_np, out_np = _jax.device_get(
+            (msgs_d, chals_d, out_dev))
+        proof, chals = _chain_bookkeep(transcript, msgs_np, chals_np)
+        tp, tc, final = DFS.finish_fixed_phase_host(transcript, out_np,
+                                                    meta, log=log)
+        proof.extend(tp)
+        chals.extend(tc)
+        final = (np.asarray(final[0]).reshape(-1, 24),
+                 np.asarray(final[1]).reshape(-1, 24))
+        if log:
+            log(f"fold rounds chained ({r} dev + {nv-r} fixed): "
+                f"{time.time()-t_start:.2f}s")
+        return proof, chals, final
 
     E = [(1, 0, 0), (1, 0, 0), (1, 0, 0)]
     proof, chals = [], []
