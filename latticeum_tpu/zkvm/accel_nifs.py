@@ -398,12 +398,15 @@ class DeviceNifs:
         if self.t_layout and self.fulldev and self.factored_lin:
             if self.rounds:
                 from . import accel_rounds
+                if not hasattr(self, "_c_signs"):
+                    self._c_signs = accel_rounds.lin_c_signs(ccs.c)
                 proof_sc, chals, final = \
                     accel_rounds.run_lin_rounds_factored(
                         self.e, transcript, g, ccs.s, ccs.d + 1, "lin",
                         self._lin_consts_dev,
                         tuple(tuple(s) for s in ccs.S), beta_s,
-                        comb_t=self._lin_comb_t, log=log)
+                        comb_t=self._lin_comb_t, log=log,
+                        c_signs=self._c_signs)
             else:
                 from . import accel_fs
                 proof_sc, chals, final = accel_fs.run_lin_fulldev_factored(

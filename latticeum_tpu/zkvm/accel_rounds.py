@@ -391,6 +391,96 @@ def _eupd3_fn(Es, eqp, chal):
     return (B.xp.stack(lo_rows), B.xp.stack(hi_rows))
 
 
+def _pallas_row_tile(rows):
+    """Largest row-tile <= 18 dividing `rows` (None never happens for
+    rows >= 1; 1-row tiles are legal, just less efficient)."""
+    for rt in range(min(rows, 18), 0, -1):
+        if rows % rt == 0:
+            return rt
+    return None
+
+
+def _make_round_pallas(rows, n_in, fold_first, npts_h, b_small):
+    """Fold-round wrapper: c-terms + eq pair-sums in XLA, the 90-row tail
+    comb via the Pallas kernel (pallas_comb), all inside one jit.  The
+    tail travels as c-layout halves (tA, tB); sums repack to the packed
+    (npts_h + 4, 24) S_all the downstream weight kernel expects."""
+    from . import pallas_comb as PC
+    n_cur = n_in // 2 if fold_first else n_in
+    half = n_cur // 2
+    rt = _pallas_row_tile(rows)
+    ct = min(256, half)
+
+    def fn(tA, tB, c2r, eqs, mu_c, r3, r3p):
+        if fold_first:
+            c2r = _fold_t(c2r, r3)
+        Tn = _pair_sum(eqs)                          # (3, 24, half)
+        Tr = (Tn[0][:2], Tn[1][:2])
+        p0 = rq.ntt_mul_t(Tr, (c2r[0][..., :half], c2r[1][..., :half]))
+        p1 = rq.ntt_mul_t(Tr, (c2r[0][..., half:], c2r[1][..., half:]))
+        Sc0 = gl.sum_axis(p0, axis=-1)               # (2, 24)
+        Sc1 = gl.sum_axis(p1, axis=-1)
+        Tbc = PC.to_c_layout((Tn[0][2][None], Tn[1][2][None]))
+        Tbc = (Tbc[0][0], Tbc[1][0])                 # (3, 8, half)
+        if fold_first:
+            sums_c, tA, tB = PC.fold_roundr_pallas(
+                tA, tB, Tbc, mu_c, r3p, b_small=b_small,
+                row_tile=rt, col_tile=ct)
+        else:
+            sums_c = PC.fold_round0_pallas(
+                tA, tB, Tbc, mu_c, b_small=b_small,
+                row_tile=rt, col_tile=ct)
+        Sh = (B.xp.moveaxis(sums_c[0], 1, 2).reshape(npts_h, 24),
+              B.xp.moveaxis(sums_c[1], 1, 2).reshape(npts_h, 24))
+        S_all = (B.xp.concatenate([Sh[0], Sc0[0], Sc1[0]]),
+                 B.xp.concatenate([Sh[1], Sc0[1], Sc1[1]]))
+        return tA, tB, c2r, Tn, S_all
+    return fn
+
+
+def _make_lin_round_pallas(n_in, fold_first, npts_q, S_t, signs):
+    """Lin-round wrapper: eq pair-sum in XLA, the 125-row Mz comb via the
+    Pallas kernel; Mz rows travel as c-layout halves (mA, mB)."""
+    from . import pallas_comb as PC
+    n_cur = n_in // 2 if fold_first else n_in
+    half = n_cur // 2
+
+    def fn(mA, mB, eq, r3, r3p):
+        Tn = _pair_sum(eq)                           # (24, half)
+        Tcc = PC.to_c_layout((Tn[0][None], Tn[1][None]))
+        Tcc = (Tcc[0][0], Tcc[1][0])                 # (3, 8, half)
+        if fold_first:
+            sums_c, mA, mB = PC.lin_roundr_pallas(
+                mA, mB, Tcc, r3p, S_t, signs, npts_q)
+        else:
+            sums_c = PC.lin_round0_pallas(mA, mB, Tcc, S_t, signs, npts_q)
+        Sq = (B.xp.moveaxis(sums_c[0], 1, 2).reshape(npts_q, 24),
+              B.xp.moveaxis(sums_c[1], 1, 2).reshape(npts_q, 24))
+        return mA, mB, Tn, Sq
+    return fn
+
+
+def lin_c_signs(c_rings):
+    """If every lin comb constant is the +-1 scalar ring the zkvm builder
+    emits ([s, 0, 0] x 8 slots with s in {1, p-1}), return the sign tuple
+    for the Pallas lin kernel; else None (falls back to the XLA path)."""
+    signs = []
+    for c in c_rings:
+        vals = [int(v) % P for v in c]
+        if any(vals[i] != 0 for i in range(24) if i % 3 != 0):
+            return None
+        s0 = vals[0]
+        if any(vals[i] != s0 for i in range(0, 24, 3)):
+            return None
+        if s0 == 1:
+            signs.append(1)
+        elif s0 == P - 1:
+            signs.append(-1)
+        else:
+            return None
+    return tuple(signs)
+
+
 def _chain_export(transcript):
     from . import accel_dev_fs as DFS
     state_h, inbuf_h = transcript.export_for_device()
@@ -424,7 +514,8 @@ def _chain_bookkeep(transcript, msgs_np, chals_np):
 # ---------------------------------------------------------------------------
 
 def run_lin_rounds_factored(engine, transcript, g_t, nv, degree, comb_key,
-                            consts_dev, S, beta_s, comb_t=None, log=None):
+                            consts_dev, S, beta_s, comb_t=None, log=None,
+                            c_signs=None):
     """Eq-factored linearization sum-check, one small kernel per round.
 
     g_t: (t+1, 24, n0) bit-reversed t-layout stack, eq row LAST.  Each round
@@ -600,6 +691,10 @@ def run_lin_rounds_factored(engine, transcript, g_t, nv, degree, comb_key,
         # nothing is fetched until the fixed phase has been enqueued too
         from . import accel_dev_fs as DFS
         import jax as _jax
+        use_pallas = (engine.jax.default_backend() != "cpu"
+                      and os.environ.get("LATTICEUM_PALLAS", "1") == "1"
+                      and c_signs is not None
+                      and n0 >= 1024 and (n0 & (n0 - 1)) == 0)
         with B.jax_mode():
             state, pend = _chain_export(transcript)
             ext_l = _limbs_dev(ext_q)
@@ -609,9 +704,28 @@ def run_lin_rounds_factored(engine, transcript, g_t, nv, degree, comb_key,
                    B.xp.zeros(3, np.uint32))
             r3_d = tuple((B.xp.zeros((), np.uint32),
                           B.xp.zeros((), np.uint32)) for _ in range(3))
+            r3p_d = (B.xp.zeros((1, 3), np.uint32),
+                     B.xp.zeros((1, 3), np.uint32))
         wjf = engine._jit(("linw_chain", n_msg, npts_q),
                           _make_weight_lin(n_msg, npts_q))
         ejf = engine._jit(("eupd_chain",), _eupd_fn)
+        if use_pallas:
+            from . import pallas_comb as PC
+
+            def pentry(mz_):
+                half = mz_[0].shape[-1] // 2
+                mA = PC.to_c_layout((mz_[0][..., :half],
+                                     mz_[1][..., :half]))
+                mB = PC.to_c_layout((mz_[0][..., half:],
+                                     mz_[1][..., half:]))
+                return mA, mB
+
+            pej = engine._jit((comb_key, "plin_entry", t_rows, n0),
+                              pentry, donate_argnums=(0,))
+            with B.jax_mode():
+                mA, mB = pej(mz)
+            mz = None
+            S_t = tuple(tuple(s) for s in S)
         msgs_d, chals_d = [], []
         n_cur, r = n0, 0
         while r < nv:
@@ -619,13 +733,24 @@ def run_lin_rounds_factored(engine, transcript, g_t, nv, degree, comb_key,
             if n_eff < 2 or n_eff // 2 < max(engine.tail, 1):
                 break
             fold_first = r > 0
-            jf = engine._jit((comb_key, "linfr", t_rows, n_cur, fold_first,
-                              budget, comp_split),
-                             make_round(n_cur, fold_first),
-                             donate_argnums=(0, 1))
             t_r = time.time()
+            if use_pallas:
+                # mA/mB not donated (pallas-output aliasing fault)
+                jf = engine._jit(
+                    (comb_key, "plinr", t_rows, n_cur, fold_first),
+                    _make_lin_round_pallas(n_cur, fold_first, npts_q,
+                                           S_t, c_signs),
+                    donate_argnums=(2,))
+                with B.jax_mode():
+                    mA, mB, eq, Sq = jf(mA, mB, eq, r3_d, r3p_d)
+            else:
+                jf = engine._jit((comb_key, "linfr", t_rows, n_cur,
+                                  fold_first, budget, comp_split),
+                                 make_round(n_cur, fold_first),
+                                 donate_argnums=(0, 1))
+                with B.jax_mode():
+                    mz, eq, Sq = jf(mz, eq, consts_dev, r3_d)
             with B.jax_mode():
-                mz, eq, Sq = jf(mz, eq, consts_dev, r3_d)
                 beta_r = (betas_l[0][r], betas_l[1][r])
                 msg = wjf(Sq, E_d, beta_r, ext_l)
                 L = int(pend[0].shape[0]) + n_msg * 24
@@ -633,6 +758,7 @@ def run_lin_rounds_factored(engine, transcript, g_t, nv, degree, comb_key,
                 state, pend = cjf(state, pend, msg)
                 E_d = ejf(E_d, beta_r, pend)
                 r3_d = tuple((pend[0][c], pend[1][c]) for c in range(3))
+                r3p_d = (pend[0][None, :], pend[1][None, :])
             msgs_d.append(msg)
             chals_d.append(pend)
             if log:
@@ -644,21 +770,48 @@ def run_lin_rounds_factored(engine, transcript, g_t, nv, degree, comb_key,
 
         fold_pending = r > 0
 
-        def fix_entry(mz, eq, r3, E3):
-            if fold_pending:
-                mz = _fold_t(mz, r3)
-            eqr = rq.ntt_scalar_mul_t(eq, E3)
-            return (B.xp.concatenate([mz[0], eqr[0][None]]),
-                    B.xp.concatenate([mz[1], eqr[1][None]]))
+        if use_pallas:
+            from . import pallas_comb as PC
 
-        jfix = engine._jit((comb_key, "fixentry", t_rows, n_cur,
-                            fold_pending), fix_entry, donate_argnums=(0, 1))
-        with B.jax_mode():
-            E3_d = tuple((E_d[0][c], E_d[1][c]) for c in range(3))
-            stack = jfix(mz, eq, r3_d, E3_d)
-            dev_chals = ((B.xp.stack([c[0] for c in chals_d]),
-                          B.xp.stack([c[1] for c in chals_d]))
-                         if chals_d else None)
+            def fix_entry(mA, mB, eq, r3, E3):
+                lo = PC.from_c_layout(mA)
+                hi = PC.from_c_layout(mB)
+                if fold_pending:
+                    mz_ = gl.add(lo, rq.ntt_scalar_mul_t(gl.sub(hi, lo),
+                                                         r3))
+                else:
+                    mz_ = (B.xp.concatenate([lo[0], hi[0]], axis=-1),
+                           B.xp.concatenate([lo[1], hi[1]], axis=-1))
+                eqr = rq.ntt_scalar_mul_t(eq, E3)
+                return (B.xp.concatenate([mz_[0], eqr[0][None]]),
+                        B.xp.concatenate([mz_[1], eqr[1][None]]))
+
+            jfix = engine._jit((comb_key, "pfixlin", t_rows, n_cur,
+                                fold_pending), fix_entry,
+                               donate_argnums=(0, 1, 2))
+            with B.jax_mode():
+                E3_d = tuple((E_d[0][c], E_d[1][c]) for c in range(3))
+                stack = jfix(mA, mB, eq, r3_d, E3_d)
+                dev_chals = ((B.xp.stack([c[0] for c in chals_d]),
+                              B.xp.stack([c[1] for c in chals_d]))
+                             if chals_d else None)
+        else:
+            def fix_entry(mz, eq, r3, E3):
+                if fold_pending:
+                    mz = _fold_t(mz, r3)
+                eqr = rq.ntt_scalar_mul_t(eq, E3)
+                return (B.xp.concatenate([mz[0], eqr[0][None]]),
+                        B.xp.concatenate([mz[1], eqr[1][None]]))
+
+            jfix = engine._jit((comb_key, "fixentry", t_rows, n_cur,
+                                fold_pending), fix_entry,
+                               donate_argnums=(0, 1))
+            with B.jax_mode():
+                E3_d = tuple((E_d[0][c], E_d[1][c]) for c in range(3))
+                stack = jfix(mz, eq, r3_d, E3_d)
+                dev_chals = ((B.xp.stack([c[0] for c in chals_d]),
+                              B.xp.stack([c[1] for c in chals_d]))
+                             if chals_d else None)
         part_comb = (lambda vals, c: comb_t(vals[0], c))
         out_dev, meta = DFS.run_fixed_phase_dev(
             engine, transcript, [stack], nv, r, degree, comb_key,
@@ -954,6 +1107,14 @@ def run_fold_rounds_factored(engine, transcript, parts, nv, degree,
     if chain:
         from . import accel_dev_fs as DFS
         import jax as _jax
+        # Pallas comb kernels for the 90-row tail (measured 3.5x vs the
+        # XLA round kernels at production shape, bit-exact —
+        # scripts/pallas_ab.py); the tail is carried as c-layout halves
+        # between rounds, c-terms/eq stay XLA in the same jit
+        use_pallas = (engine.jax.default_backend() != "cpu"
+                      and os.environ.get("LATTICEUM_PALLAS", "1") == "1"
+                      and _pallas_row_tile(rows) is not None
+                      and n0 >= 1024 and (n0 & (n0 - 1)) == 0)
         with B.jax_mode():
             state, pend = _chain_export(transcript)
             exth_l = _limbs_dev(ext_h)
@@ -967,9 +1128,28 @@ def run_fold_rounds_factored(engine, transcript, parts, nv, degree,
                     B.xp.zeros((3, 3), np.uint32))
             r3_d = tuple((B.xp.zeros((), np.uint32),
                           B.xp.zeros((), np.uint32)) for _ in range(3))
+            r3p_d = (B.xp.zeros((1, 3), np.uint32),
+                     B.xp.zeros((1, 3), np.uint32))
         wjf = engine._jit(("foldw_chain", n_msg, npts_h),
                           _make_weight_fold(n_msg, npts_h))
         ejf = engine._jit(("eupd3_chain",), _eupd3_fn)
+        if use_pallas:
+            # entry: split the packed tail into c-layout halves + mu rows
+            from . import pallas_comb as PC
+
+            def pentry(ts, mu):
+                half = ts[0].shape[-1] // 2
+                tA = PC.to_c_layout((ts[0][..., :half], ts[1][..., :half]))
+                tB = PC.to_c_layout((ts[0][..., half:], ts[1][..., half:]))
+                mu_c = (B.xp.stack([mu[c][0] for c in range(3)], axis=1),
+                        B.xp.stack([mu[c][1] for c in range(3)], axis=1))
+                return tA, tB, mu_c
+
+            pej = engine._jit((comb_key, "pfold_entry", rows, n0), pentry,
+                              donate_argnums=(0,))
+            with B.jax_mode():
+                t_A, t_B, mu_c = pej(t_s, mu_pow)
+            t_s = None
         msgs_d, chals_d = [], []
         n_cur, r = n0, 0
         while r < nv:
@@ -977,13 +1157,28 @@ def run_fold_rounds_factored(engine, transcript, parts, nv, degree,
             if n_eff < 2 or n_eff // 2 < max(engine.tail, 1):
                 break
             fold_first = r > 0
-            jf = engine._jit((comb_key, "foldfr", rows, n_cur, fold_first,
-                              budget, comp_split),
-                             make_round(n_cur, fold_first),
-                             donate_argnums=(0, 1, 2))
             t_r = time.time()
+            if use_pallas:
+                # NOTE: tA/tB must NOT be donated — XLA aliasing a
+                # donated buffer with a pallas_call output faults the TPU
+                # worker (reproduced; scripts/pallas_step_check.py).  Only
+                # the XLA-consumed c2r/eqs are donated.
+                jf = engine._jit(
+                    (comb_key, "pfoldr", rows, n_cur, fold_first),
+                    _make_round_pallas(rows, n_cur, fold_first, npts_h,
+                                       b_small),
+                    donate_argnums=(2, 3))
+                with B.jax_mode():
+                    t_A, t_B, c2r, eqs, S_all = jf(
+                        t_A, t_B, c2r, eqs, mu_c, r3_d, r3p_d)
+            else:
+                jf = engine._jit((comb_key, "foldfr", rows, n_cur,
+                                  fold_first, budget, comp_split),
+                                 make_round(n_cur, fold_first),
+                                 donate_argnums=(0, 1, 2))
+                with B.jax_mode():
+                    t_s, c2r, eqs, S_all = jf(t_s, c2r, eqs, mu_pow, r3_d)
             with B.jax_mode():
-                t_s, c2r, eqs, S_all = jf(t_s, c2r, eqs, mu_pow, r3_d)
                 eqp_r = (eqp_l[0][:, r], eqp_l[1][:, r])      # (3, 3)
                 msg = wjf(S_all, Es_d, eqp_r, exth_l, extc_l)
                 L = int(pend[0].shape[0]) + n_msg * 24
@@ -991,6 +1186,7 @@ def run_fold_rounds_factored(engine, transcript, parts, nv, degree,
                 state, pend = cjf(state, pend, msg)
                 Es_d = ejf(Es_d, eqp_r, pend)
                 r3_d = tuple((pend[0][c], pend[1][c]) for c in range(3))
+                r3p_d = (pend[0][None, :], pend[1][None, :])
             msgs_d.append(msg)
             chals_d.append(pend)
             if log:
@@ -1001,6 +1197,61 @@ def run_fold_rounds_factored(engine, transcript, parts, nv, degree,
             r += 1
 
         fold_pending = r > 0
+
+        if use_pallas:
+            # repack the c-layout halves for the fixed phase (+ pending
+            # fold), in one jit
+            from . import pallas_comb as PC
+
+            def pfix(tA, tB, c2r, eqs, r3, E3s):
+                lo = PC.from_c_layout(tA)
+                hi = PC.from_c_layout(tB)
+                if fold_pending:
+                    t_s = gl.add(lo, rq.ntt_scalar_mul_t(gl.sub(hi, lo),
+                                                         r3))
+                    c2r = _fold_t(c2r, r3)
+                else:
+                    t_s = (B.xp.concatenate([lo[0], hi[0]], axis=-1),
+                           B.xp.concatenate([lo[1], hi[1]], axis=-1))
+                eqr = [rq.ntt_scalar_mul_t((eqs[0][i], eqs[1][i]), E3s[i])
+                       for i in range(3)]
+                head = (B.xp.stack([eqr[0][0], c2r[0][0], eqr[1][0],
+                                    c2r[0][1], eqr[2][0]]),
+                        B.xp.stack([eqr[0][1], c2r[1][0], eqr[1][1],
+                                    c2r[1][1], eqr[2][1]]))
+                return head, t_s
+
+            jfix = engine._jit((comb_key, "pfixentry", rows, n_cur,
+                                fold_pending), pfix,
+                               donate_argnums=(0, 1, 2, 3))
+            with B.jax_mode():
+                E3s_d = [tuple((Es_d[0][tbl, c], Es_d[1][tbl, c])
+                               for c in range(3)) for tbl in range(3)]
+                head_f, tail_f = jfix(t_A, t_B, c2r, eqs, r3_d, E3s_d)
+                dev_chals = ((B.xp.stack([c[0] for c in chals_d]),
+                              B.xp.stack([c[1] for c in chals_d]))
+                             if chals_d else None)
+            out_dev, meta = DFS.run_fixed_phase_dev(
+                engine, transcript, [head_f, tail_f], nv, r, degree,
+                comb_key, comb_t, consts_dev, None, None, log=log,
+                dev_state=(state, pend), dev_chals=dev_chals,
+                return_device=True)
+            if log:
+                log(f"        fold chain fully enqueued at "
+                    f"{time.time()-t_start:.2f}s")
+            msgs_np, chals_np, out_np = _jax.device_get(
+                (msgs_d, chals_d, out_dev))
+            proof, chals = _chain_bookkeep(transcript, msgs_np, chals_np)
+            tp, tc, final = DFS.finish_fixed_phase_host(
+                transcript, out_np, meta, log=log)
+            proof.extend(tp)
+            chals.extend(tc)
+            final = (np.asarray(final[0]).reshape(-1, 24),
+                     np.asarray(final[1]).reshape(-1, 24))
+            if log:
+                log(f"fold rounds chained+pallas ({r} dev + {nv-r} "
+                    f"fixed): {time.time()-t_start:.2f}s")
+            return proof, chals, final
 
         def fix_entry(t_s, c2r, eqs, r3, E3s):
             if fold_pending:

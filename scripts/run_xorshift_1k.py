@@ -52,8 +52,11 @@ def main():
     def log(m):
         print(f"[{time.time()-t0:7.1f}s] {m}", flush=True)
 
-    prover = ZkVmProver(device=device, t_layout=device)
-    log(f"prover ready (device={device}, words={words})")
+    import os
+    tail = int(os.environ.get("LATTICEUM_TAIL", "512"))
+    prover = ZkVmProver(device=device, t_layout=device,
+                        tail_threshold=tail)
+    log(f"prover ready (device={device}, words={words}, tail={tail})")
     elf = xorshift_guest(words)
 
     step_t = [time.time()]
@@ -74,7 +77,8 @@ def main():
                         checkpoint_dir=ckdir, checkpoint_every=ckpt_every)
         log(f"leg 1 done at step {resume_at}; resuming from checkpoint "
             f"in a FRESH prover")
-        prover = ZkVmProver(device=device, t_layout=device)
+        prover = ZkVmProver(device=device, t_layout=device,
+                            tail_threshold=tail)
         resumed_steps = resume_at
 
     vm = new_vm_1mb().load_elf_data(elf)
